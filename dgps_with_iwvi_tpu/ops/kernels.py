@@ -1,0 +1,102 @@
+"""Stationary GP kernels (RBF / Matern family) with ARD lengthscales.
+
+TPU-native equivalent of gpflow:gpflow/kernels.py (RBF, Matern12/32/52 with
+ARD) as referenced by ref:dgps_with_iwvi/layers.py. Pure functions over a
+small params pytree; positive parameters are stored unconstrained (see
+ops/transforms.py).
+
+Design notes (TPU-first):
+- The squared distance uses the ||x||^2 - 2 x.y + ||y||^2 expansion so the
+  cross term is ONE [N, D] x [D, M] matmul that lands on the MXU; distances
+  are clipped at 0 to absorb cancellation error (same guard as the
+  reference's square_dist).
+- Everything broadcasts over arbitrary leading batch axes, so the K x S
+  sample axes of the IWVI objective flow through as plain batched matmuls —
+  no per-sample Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .transforms import positive, positive_inverse
+
+KernelParams = Dict[str, Any]
+
+
+def rbf_params(input_dim: int, variance: float = 1.0, lengthscales=1.0,
+               ard: bool = True, dtype=jnp.float32) -> KernelParams:
+    """Unconstrained parameter pytree for an RBF/Matern kernel.
+
+    Mirrors gpflow RBF(input_dim, ARD=True) defaults: unit variance, unit
+    lengthscales per input dim.
+    """
+    ls = jnp.broadcast_to(
+        jnp.asarray(lengthscales, dtype), (input_dim,) if ard else (1,)
+    )
+    return {
+        "raw_variance": positive_inverse(jnp.asarray(variance, dtype)),
+        "raw_lengthscales": positive_inverse(ls),
+    }
+
+
+def kernel_variance(params: KernelParams) -> jax.Array:
+    return positive(params["raw_variance"])
+
+
+def kernel_lengthscales(params: KernelParams) -> jax.Array:
+    return positive(params["raw_lengthscales"])
+
+
+def scaled_squared_distance(X: jax.Array, X2: jax.Array,
+                            lengthscales: jax.Array) -> jax.Array:
+    """||(x - x')/l||^2 for X:[..., N, D], X2:[..., M, D] -> [..., N, M].
+
+    MXU-friendly: one batched matmul for the cross term; clipped at zero.
+    """
+    Xs = X / lengthscales
+    X2s = X2 / lengthscales
+    xx = jnp.sum(jnp.square(Xs), axis=-1)  # [..., N]
+    yy = jnp.sum(jnp.square(X2s), axis=-1)  # [..., M]
+    cross = jnp.matmul(Xs, jnp.swapaxes(X2s, -1, -2),
+                       preferred_element_type=Xs.dtype)  # [..., N, M]
+    d2 = xx[..., :, None] - 2.0 * cross + yy[..., None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+def _matern_from_r(r: jax.Array, order: int) -> jax.Array:
+    if order == 1:  # Matern 1/2 (exponential)
+        return jnp.exp(-r)
+    if order == 3:  # Matern 3/2
+        s = jnp.sqrt(3.0) * r
+        return (1.0 + s) * jnp.exp(-s)
+    if order == 5:  # Matern 5/2
+        s = jnp.sqrt(5.0) * r
+        return (1.0 + s + (5.0 / 3.0) * jnp.square(r)) * jnp.exp(-s)
+    raise ValueError(f"unsupported Matern order {order}")
+
+
+def K(params: KernelParams, X: jax.Array, X2: jax.Array | None = None,
+      *, kind: str = "rbf") -> jax.Array:
+    """Gram matrix k(X, X2): [..., N, D] x [..., M, D] -> [..., N, M]."""
+    if X2 is None:
+        X2 = X
+    ls = kernel_lengthscales(params)
+    var = kernel_variance(params)
+    d2 = scaled_squared_distance(X, X2, ls)
+    if kind == "rbf":
+        return var * jnp.exp(-0.5 * d2)
+    if kind in ("matern12", "matern32", "matern52"):
+        order = {"matern12": 1, "matern32": 3, "matern52": 5}[kind]
+        r = jnp.sqrt(jnp.maximum(d2, 1e-36))
+        return var * _matern_from_r(r, order)
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
+def Kdiag(params: KernelParams, X: jax.Array, *, kind: str = "rbf") -> jax.Array:
+    """diag k(X, X): [..., N, D] -> [..., N]. Stationary => variance * 1."""
+    del kind  # all supported kernels are stationary
+    return jnp.broadcast_to(kernel_variance(params), X.shape[:-1])

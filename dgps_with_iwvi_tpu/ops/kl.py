@@ -1,0 +1,52 @@
+"""KL divergences for Gaussian variational posteriors.
+
+TPU-native rebuild of gpflow:gpflow/kullback_leiblers.py gauss_kl as used by
+GPLayer.KL() in ref:dgps_with_iwvi/layers.py (whitened) and by the
+latent-variable layer's local KL (diagonal case).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gauss_kl_white(q_mu: jax.Array, q_sqrt: jax.Array) -> jax.Array:
+    """KL( N(q_mu, L L^T) || N(0, I) ), summed over output dims.
+
+    q_mu: [M, D]; q_sqrt: [D, M, M] lower-triangular (only the lower triangle
+    is read). Whitened-prior case of the reference's gauss_kl:
+        0.5 * sum_d [ m_d^T m_d + tr(L_d L_d^T) - M - 2 sum log diag(L_d) ]
+    """
+    M = q_mu.shape[0]
+    D = q_mu.shape[1]
+    L = jnp.tril(q_sqrt)
+    mahal = jnp.sum(jnp.square(q_mu))
+    trace = jnp.sum(jnp.square(L))
+    logdet = jnp.sum(jnp.log(jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1))))
+    return 0.5 * (mahal + trace - M * D - logdet)
+
+
+def gauss_kl_diag_white(mu: jax.Array, log_var: jax.Array) -> jax.Array:
+    """Per-row KL( N(mu, diag exp(log_var)) || N(0, I) ), reduced over the
+    last axis only: [..., d] -> [...].
+
+    Used for the latent-variable layer's local KL in the VI objective
+    (ref:dgps_with_iwvi/models.py DGP_VI with LV layers).
+    """
+    var = jnp.exp(log_var)
+    return 0.5 * jnp.sum(jnp.square(mu) + var - 1.0 - log_var, axis=-1)
+
+
+def diag_gaussian_logpdf(x: jax.Array, mu: jax.Array, log_var: jax.Array) -> jax.Array:
+    """log N(x | mu, diag exp(log_var)) reduced over the last axis."""
+    log2pi = jnp.log(2.0 * jnp.pi)
+    return -0.5 * jnp.sum(
+        log2pi + log_var + jnp.square(x - mu) / jnp.exp(log_var), axis=-1
+    )
+
+
+def std_gaussian_logpdf(x: jax.Array) -> jax.Array:
+    """log N(x | 0, I) reduced over the last axis."""
+    log2pi = jnp.log(2.0 * jnp.pi)
+    return -0.5 * jnp.sum(log2pi + jnp.square(x), axis=-1)

@@ -1,0 +1,272 @@
+"""Parity tests for the GP math core against brute-force closed forms.
+
+Mirrors the test burden the reference inherits from its dependency suite
+(gpflow tests: test_kerns / test_conditionals / test_kldiv / test_likelihoods
+— SURVEY.md §4): every op is checked against a dense naive implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgps_with_iwvi_tpu.ops import (
+    conditionals,
+    kernels,
+    kl,
+    likelihoods,
+    linalg,
+    transforms,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float64)
+
+
+class TestTransforms:
+    def test_positive_roundtrip(self):
+        vals = jnp.array([1e-5, 0.1, 1.0, 10.0, 1e3], jnp.float64)
+        raw = transforms.positive_inverse(vals)
+        np.testing.assert_allclose(transforms.positive(raw), vals, rtol=1e-10)
+
+    def test_positive_lower_bound(self):
+        raw = jnp.array([-1e4], jnp.float64)
+        assert transforms.positive(raw) >= transforms.DEFAULT_POSITIVE_LOWER
+
+    def test_tril_pack_roundtrip(self):
+        n = 5
+        L = jnp.tril(_rand(KEY, n, n))
+        vec = transforms.tril_to_vec(L)
+        assert vec.shape == (n * (n + 1) // 2,)
+        np.testing.assert_allclose(transforms.vec_to_tril(vec, n), L)
+
+
+class TestKernels:
+    @pytest.mark.parametrize("kind", ["rbf", "matern12", "matern32", "matern52"])
+    def test_against_naive(self, kind):
+        k1, k2 = jax.random.split(KEY)
+        X, X2 = _rand(k1, 7, 3), _rand(k2, 5, 3)
+        var, ls = 1.7, np.array([0.5, 1.2, 2.0])
+        params = kernels.rbf_params(3, variance=var, lengthscales=ls, dtype=jnp.float64)
+        got = np.asarray(kernels.K(params, X, X2, kind=kind))
+
+        Xn, X2n = np.asarray(X), np.asarray(X2)
+        expected = np.zeros((7, 5))
+        for i in range(7):
+            for j in range(5):
+                d2 = np.sum(((Xn[i] - X2n[j]) / ls) ** 2)
+                r = np.sqrt(d2)
+                if kind == "rbf":
+                    expected[i, j] = var * np.exp(-0.5 * d2)
+                elif kind == "matern12":
+                    expected[i, j] = var * np.exp(-r)
+                elif kind == "matern32":
+                    expected[i, j] = var * (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)
+                else:
+                    expected[i, j] = (
+                        var * (1 + np.sqrt(5) * r + 5 / 3 * r**2) * np.exp(-np.sqrt(5) * r)
+                    )
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-9)
+
+    def test_kdiag_matches_k(self):
+        X = _rand(KEY, 6, 4)
+        params = kernels.rbf_params(4, variance=2.3)
+        Kfull = kernels.K(params, X, X)
+        np.testing.assert_allclose(
+            kernels.Kdiag(params, X), jnp.diagonal(Kfull), rtol=1e-10
+        )
+
+    def test_batched_leading_axes(self):
+        X = _rand(KEY, 3, 4, 6, 2)  # [K, S, N, D]
+        Z = _rand(KEY, 5, 2)
+        params = kernels.rbf_params(2)
+        KZX = kernels.K(params, Z, X)
+        assert KZX.shape == (3, 4, 5, 6)
+        np.testing.assert_allclose(
+            KZX[1, 2], kernels.K(params, Z, X[1, 2]), rtol=1e-12
+        )
+
+
+class TestLinalg:
+    def test_cholesky_with_jitter_basic(self):
+        A = _rand(KEY, 6, 6)
+        Kmat = A @ A.T + 5.0 * jnp.eye(6)
+        L = linalg.cholesky_with_jitter(Kmat, 1e-6)
+        np.testing.assert_allclose(L @ L.T, Kmat, rtol=1e-5, atol=1e-5)
+
+    def test_jitter_escalation_rescues_singular(self):
+        # Rank-deficient matrix: plain cholesky at 1e-12 effective jitter
+        # fails in f32; escalation must produce a finite usable factor.
+        v = jnp.ones((4, 1), jnp.float32)
+        Kmat = (v @ v.T).astype(jnp.float32)  # rank 1
+        L = linalg.cholesky_with_jitter(Kmat, 1e-6, max_tries=6)
+        assert bool(jnp.all(jnp.isfinite(L)))
+        d = jnp.diagonal(L)
+        assert bool(jnp.all(d > 0))
+
+    def test_solve_and_cho_solve(self):
+        A = _rand(KEY, 5, 5)
+        Kmat = A @ A.T + 3.0 * jnp.eye(5)
+        L = jnp.linalg.cholesky(Kmat)
+        B = _rand(jax.random.PRNGKey(1), 5, 3)
+        np.testing.assert_allclose(L @ linalg.solve_triangular(L, B), B, atol=1e-9)
+        np.testing.assert_allclose(Kmat @ linalg.cho_solve(L, B), B, atol=1e-8)
+
+    def test_logdet(self):
+        A = _rand(KEY, 5, 5)
+        Kmat = A @ A.T + 3.0 * jnp.eye(5)
+        L = jnp.linalg.cholesky(Kmat)
+        np.testing.assert_allclose(
+            linalg.log_det_from_chol(L), jnp.linalg.slogdet(Kmat)[1], rtol=1e-10
+        )
+
+
+class TestConditionals:
+    """Whitened conditional vs dense GP math (SURVEY.md §4 item 1)."""
+
+    def _setup(self, D_out=2):
+        k1, k2, k3, k4 = jax.random.split(KEY, 4)
+        M, N, D_in = 8, 11, 3
+        Z = _rand(k1, M, D_in)
+        X = _rand(k2, N, D_in)
+        params = kernels.rbf_params(D_in, variance=1.4, lengthscales=0.9)
+        q_mu = _rand(k3, M, D_out)
+        q_sqrt = jnp.tril(_rand(k4, D_out, M, M)) * 0.3 + jnp.eye(M) * 0.5
+        q_sqrt = jnp.tril(q_sqrt)
+        return X, Z, params, q_mu, q_sqrt
+
+    def _naive(self, X, Z, params, q_mu, q_sqrt, jitter=1e-12):
+        """Dense whitened SVGP predictive: u = Lm v, v ~ N(q_mu_d, L_d L_d^T)."""
+        Kuu = np.asarray(kernels.K(params, Z, Z)) + jitter * np.eye(Z.shape[0])
+        Kuf = np.asarray(kernels.K(params, Z, X))
+        Kff = np.asarray(kernels.K(params, X, X))
+        Lm = np.linalg.cholesky(Kuu)
+        A = np.linalg.solve(Lm, Kuf)  # [M, N]
+        means, covs = [], []
+        for d in range(q_mu.shape[1]):
+            Ld = np.tril(np.asarray(q_sqrt[d]))
+            means.append(A.T @ np.asarray(q_mu[:, d]))
+            covs.append(Kff - A.T @ A + A.T @ Ld @ Ld.T @ A)
+        return np.stack(means, -1), np.stack(covs, 0)
+
+    def test_marginal_matches_naive(self):
+        X, Z, params, q_mu, q_sqrt = self._setup()
+        out = conditionals.conditional(X, Z, params, q_mu, q_sqrt, jitter=1e-12)
+        mean_n, cov_n = self._naive(X, Z, params, q_mu, q_sqrt)
+        np.testing.assert_allclose(out.mean, mean_n, rtol=1e-7, atol=1e-9)
+        var_n = np.stack([np.diag(cov_n[d]) for d in range(2)], -1)
+        np.testing.assert_allclose(out.var, var_n, rtol=1e-7, atol=1e-9)
+
+    def test_fullcov_matches_naive(self):
+        X, Z, params, q_mu, q_sqrt = self._setup()
+        Kuu = kernels.K(params, Z, Z)
+        Lm = linalg.cholesky_with_jitter(Kuu, 1e-12)
+        Kuf = kernels.K(params, Z, X)
+        Kff = kernels.K(params, X, X)
+        out = conditionals.base_conditional_whitened_fullcov(Kuf, Lm, Kff, q_mu, q_sqrt)
+        mean_n, cov_n = self._naive(X, Z, params, q_mu, q_sqrt)
+        np.testing.assert_allclose(out.mean, mean_n, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(out.var, cov_n, rtol=1e-6, atol=1e-8)
+
+    def test_multisample_broadcast(self):
+        """K x S leading axes flow through as batch dims (the reference's
+        temp_workaround.py multisample path — SURVEY.md §2.6)."""
+        X, Z, params, q_mu, q_sqrt = self._setup()
+        Xb = jnp.broadcast_to(X, (4, 3) + X.shape) + 0.01 * _rand(KEY, 4, 3, *X.shape)
+        out = conditionals.conditional(Xb, Z, params, q_mu, q_sqrt, jitter=1e-12)
+        assert out.mean.shape == (4, 3, 11, 2)
+        single = conditionals.conditional(Xb[2, 1], Z, params, q_mu, q_sqrt, jitter=1e-12)
+        np.testing.assert_allclose(out.mean[2, 1], single.mean, rtol=1e-8)
+        np.testing.assert_allclose(out.var[2, 1], single.var, rtol=1e-8)
+
+    def test_sample_conditional_moments(self):
+        """Reparameterized samples have the conditional's mean/var."""
+        X, Z, params, q_mu, q_sqrt = self._setup()
+        out = conditionals.conditional(X, Z, params, q_mu, q_sqrt, jitter=1e-12)
+        keys = jax.random.split(jax.random.PRNGKey(7), 4000)
+        samp = jax.vmap(
+            lambda k: conditionals.sample_conditional(
+                k, X, Z, params, q_mu, q_sqrt, jitter=1e-12
+            )[0]
+        )(keys)
+        np.testing.assert_allclose(samp.mean(0), out.mean, atol=0.08)
+        np.testing.assert_allclose(samp.var(0), out.var, rtol=0.15, atol=0.02)
+
+
+class TestKL:
+    def test_gauss_kl_white_vs_dense(self):
+        M, D = 6, 3
+        k1, k2 = jax.random.split(KEY)
+        q_mu = _rand(k1, M, D)
+        q_sqrt = jnp.tril(_rand(k2, D, M, M) * 0.2 + jnp.eye(M))
+        got = kl.gauss_kl_white(q_mu, q_sqrt)
+        expected = 0.0
+        for d in range(D):
+            Ld = np.asarray(q_sqrt[d])
+            S = Ld @ Ld.T
+            m = np.asarray(q_mu[:, d])
+            expected += 0.5 * (
+                m @ m + np.trace(S) - M - np.linalg.slogdet(S)[1]
+            )
+        np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+    def test_gauss_kl_diag_white_vs_dense(self):
+        k1, k2 = jax.random.split(KEY)
+        mu = _rand(k1, 4, 3)
+        log_var = _rand(k2, 4, 3) * 0.5
+        got = kl.gauss_kl_diag_white(mu, log_var)
+        assert got.shape == (4,)
+        for n in range(4):
+            S = np.diag(np.exp(np.asarray(log_var[n])))
+            m = np.asarray(mu[n])
+            exp_n = 0.5 * (m @ m + np.trace(S) - 3 - np.linalg.slogdet(S)[1])
+            np.testing.assert_allclose(got[n], exp_n, rtol=1e-9)
+
+    def test_logpdfs(self):
+        from scipy.stats import norm
+
+        x = np.array([0.3, -1.2, 2.0])
+        mu = np.array([0.1, 0.0, -0.5])
+        log_var = np.array([0.2, -0.3, 0.0])
+        got = kl.diag_gaussian_logpdf(jnp.array(x), jnp.array(mu), jnp.array(log_var))
+        expected = norm.logpdf(x, mu, np.exp(log_var / 2)).sum()
+        np.testing.assert_allclose(got, expected, rtol=1e-9)
+        np.testing.assert_allclose(
+            kl.std_gaussian_logpdf(jnp.array(x)), norm.logpdf(x).sum(), rtol=1e-9
+        )
+
+
+class TestLikelihood:
+    def test_variational_expectations_vs_quadrature(self):
+        """Analytic E_{N(f|m,v)}[log N(y|f,s2)] vs Gauss-Hermite
+        (gpflow test_likelihoods strategy — SURVEY.md §4)."""
+        params = likelihoods.gaussian_params(0.13)
+        m = jnp.array([[0.5, -0.2]])
+        v = jnp.array([[0.3, 0.8]])
+        y = jnp.array([[0.7, 0.1]])
+        got = likelihoods.variational_expectations(params, m, v, y)
+
+        xs, ws = np.polynomial.hermite_e.hermegauss(60)
+        s2 = float(likelihoods.noise_variance(params))
+        expected = 0.0
+        for d in range(2):
+            f = float(m[0, d]) + np.sqrt(float(v[0, d])) * xs
+            logp = -0.5 * (np.log(2 * np.pi * s2) + (float(y[0, d]) - f) ** 2 / s2)
+            expected += (ws * logp).sum() / np.sqrt(2 * np.pi)
+        np.testing.assert_allclose(got[0], expected, rtol=1e-7)
+
+    def test_predict_density_is_gaussian_mixture_component(self):
+        from scipy.stats import norm
+
+        params = likelihoods.gaussian_params(0.2)
+        s2 = float(likelihoods.noise_variance(params))
+        m, v, y = 0.4, 0.9, -0.3
+        got = likelihoods.predict_density(
+            params, jnp.array([[m]]), jnp.array([[v]]), jnp.array([[y]])
+        )
+        np.testing.assert_allclose(
+            got[0], norm.logpdf(y, m, np.sqrt(v + s2)), rtol=1e-9
+        )
