@@ -1,0 +1,36 @@
+"""DGP model stack: layers, encoders, objectives, builder.
+
+TPU-native rebuild of ref:dgps_with_iwvi/{layers,models}.py and
+ref:experiments/models.py.
+"""
+
+from .builder import BuildArgs, build_config, build_model, kmeans_centers
+from .dgp import (
+    DGPConfig,
+    elbo,
+    gp_kls,
+    init_dgp,
+    predict_f,
+    predict_log_density,
+    predict_y,
+    propagate,
+)
+from .layers import GPLayerConfig, LatentVarMode, LVLayerConfig
+
+__all__ = [
+    "BuildArgs",
+    "DGPConfig",
+    "GPLayerConfig",
+    "LVLayerConfig",
+    "LatentVarMode",
+    "build_config",
+    "build_model",
+    "elbo",
+    "gp_kls",
+    "init_dgp",
+    "kmeans_centers",
+    "predict_f",
+    "predict_log_density",
+    "predict_y",
+    "propagate",
+]

@@ -1,0 +1,139 @@
+"""Model builder: configuration-string DSL -> (DGPConfig, params).
+
+TPU-native rebuild of ref:experiments/models.py build_model (SURVEY.md §2.5):
+- configuration tokens: 'G' = GP layer, 'L' = latent-variable layer
+  (paper models: 'G', 'GG', 'LG', 'LGG', 'LGGG');
+- inducing inputs Z initialized by k-means on the (normalized) training
+  inputs (scipy kmeans2 in the reference; a pure-JAX Lloyd's iteration here
+  so the builder works on-device and under jit if needed);
+- inner-layer width min(d_x, inner_dim_cap) per the Salimbeni-2017
+  convention; final layer Gaussian likelihood with trainable noise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .dgp import DGPConfig, init_dgp
+from .layers import GPLayerConfig, LVLayerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class BuildArgs:
+    """Mirrors the reference harness's ARGS surface (SURVEY.md §2.5)."""
+
+    configuration: str = "G"
+    mode: str = "VI"            # 'VI' | 'IW'
+    num_inducing: int = 128     # M
+    num_iw_samples: int = 5     # K
+    num_samples: int = 1        # S
+    d_w: int = 1                # latent dim per LV layer
+    inner_dim_cap: int = 30     # inner GP width = min(d_x, cap)
+    encoder_hidden: tuple = (20, 20)
+    encoder_init_logvar: float = -4.6
+    noise_variance_init: float = 0.05
+    jitter: float = 1e-6
+
+
+def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
+                   key: jax.Array | None = None) -> jax.Array:
+    """Lloyd's k-means on X:[N, D] -> [k, D] centres (Z init).
+
+    Deterministic given the key; empty clusters keep their previous centre.
+    If N <= k, pads with jittered resamples of X.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    N = X.shape[0]
+    if N <= k:
+        reps = -(-k // N)
+        Xp = jnp.tile(X, (reps, 1))[:k]
+        return Xp + 1e-3 * jax.random.normal(key, Xp.shape, X.dtype)
+    idx = jax.random.choice(key, N, (k,), replace=False)
+    centers = X[idx]
+
+    def step(centers, _):
+        d2 = (jnp.sum(X * X, 1)[:, None] - 2.0 * X @ centers.T
+              + jnp.sum(centers * centers, 1)[None, :])
+        assign = jnp.argmin(d2, axis=1)                      # [N]
+        one_hot = jax.nn.one_hot(assign, k, dtype=X.dtype)   # [N, k]
+        counts = one_hot.sum(0)                              # [k]
+        sums = one_hot.T @ X                                 # [k, D]
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0), centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(step, centers, None, length=iters)
+    return centers
+
+
+def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfig:
+    """Parse the configuration string into a static DGPConfig."""
+    tokens = args.configuration.upper()
+    assert tokens and set(tokens) <= {"G", "L"}, f"bad configuration {tokens!r}"
+    assert tokens.endswith("G"), "configuration must end with a GP layer"
+    inner_dim = min(d_x, args.inner_dim_cap)
+    layer_cfgs: list = []
+    width = d_x
+    n_gp = tokens.count("G")
+    gp_seen = 0
+    for t in tokens:
+        if t == "L":
+            layer_cfgs.append(LVLayerConfig(
+                d_w=args.d_w, d_in=width, d_y=d_y,
+                encoder_hidden=tuple(args.encoder_hidden),
+                encoder_init_logvar=args.encoder_init_logvar))
+            width += args.d_w
+        else:
+            gp_seen += 1
+            final = gp_seen == n_gp
+            d_out = d_y if final else inner_dim
+            layer_cfgs.append(GPLayerConfig(
+                d_in=width, d_out=d_out, num_inducing=args.num_inducing,
+                final=final))
+            width = d_out
+    return DGPConfig(
+        layers=tuple(layer_cfgs),
+        num_data=num_data,
+        objective="iw" if args.mode.upper() in ("IW", "IWAE") else "vi",
+        num_samples=args.num_samples,
+        num_iw_samples=args.num_iw_samples,
+        jitter=args.jitter,
+    )
+
+
+def build_model(key: jax.Array, args: BuildArgs, X: jax.Array, Y: jax.Array):
+    """(config, params) for a standardized dataset (X, Y).
+
+    Z for the first GP layer comes from k-means on X (padded with zeros for
+    any LV dims concatenated before it); deeper layers inherit the first
+    layer's centres passed through the width convention (k-means in feature
+    space is meaningless before training, so the standard practice of
+    reusing/padding input-space centres applies).
+    """
+    d_x, d_y = X.shape[1], Y.shape[1]
+    config = build_config(args, d_x, d_y, num_data=X.shape[0])
+    kkm, kinit = jax.random.split(key)
+    Zx = kmeans_centers(X, args.num_inducing, key=kkm)  # [M, d_x]
+
+    Z_inits = []
+    width_in = None
+    for cfg in config.layers:
+        if isinstance(cfg, GPLayerConfig):
+            d_in = cfg.d_in
+            if d_in == d_x:
+                Z = Zx
+            elif d_in > d_x:
+                pad = jnp.zeros((args.num_inducing, d_in - d_x), Zx.dtype)
+                Z = jnp.concatenate([Zx, pad], axis=1)
+            else:
+                Z = Zx[:, :d_in]
+            Z_inits.append(Z)
+            width_in = d_in
+    del width_in
+    params = init_dgp(
+        kinit, config, Z_inits=Z_inits,
+        noise_variance=args.noise_variance_init, dtype=X.dtype)
+    return config, params

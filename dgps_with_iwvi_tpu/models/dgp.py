@@ -1,0 +1,208 @@
+"""DGP models and objectives: doubly-stochastic VI and importance-weighted VI.
+
+TPU-native rebuild of ref:dgps_with_iwvi/models.py (DGP_VI / DGP_IWVI —
+SURVEY.md §2.2, §3.2). One pure function per objective; the whole training
+step (propagate -> bound -> grad) traces into a single XLA program.
+
+Objectives (B = minibatch, N = num_data, S = MC samples, K = IW samples):
+
+DGP_VI ('vi'):
+    L = (N/B) * sum_B [ mean_S ve_{s,n} - local_kl_n ] - sum_{GP layers} KL_l
+    where ve is the ANALYTIC Gaussian expected log-likelihood
+    E_{N(f|m,v)}[log p(y|f)] and local_kl the analytic KL of each LV layer's
+    amortized posterior (the reference's local-KL path).
+
+DGP_IWVI ('iw'):
+    L = (N/B) * sum_B [ logsumexp_K( ve_{k,n} + sum_lv lw_{k,n} ) - log K ]
+        - sum_{GP layers} KL_l
+    lw = log p(w) - log q(w|x,y); only w is importance-weighted — the f
+    integral stays collapsed (the paper's partially-IW bound).
+
+With no LV layers the two bounds coincide sample-for-sample when S == K and
+the same PRNG key is used (IW(K=1) == VI(S=1) exactly); with LV layers they
+agree in expectation (logsumexp over a single sample replaces the analytic
+KL with its one-sample estimate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import likelihoods, linalg
+from .layers import (
+    GPLayerConfig,
+    LatentVarMode,
+    LVLayerConfig,
+    gp_layer_init,
+    gp_layer_kl,
+    gp_layer_propagate,
+    lv_layer_init,
+    lv_layer_propagate,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DGPConfig:
+    """Static model/objective configuration (hashable: safe as a jit static)."""
+
+    layers: tuple  # tuple[GPLayerConfig | LVLayerConfig, ...]
+    num_data: int
+    objective: str = "vi"       # 'vi' | 'iw'
+    num_samples: int = 1        # S (VI MC samples; also prediction default)
+    num_iw_samples: int = 1     # K (IW samples)
+    jitter: float = linalg.DEFAULT_JITTER
+
+    def __post_init__(self):
+        assert self.objective in ("vi", "iw")
+        gp_cfgs = [c for c in self.layers if isinstance(c, GPLayerConfig)]
+        assert gp_cfgs and gp_cfgs[-1] is self.layers[-1], \
+            "last layer must be a GP layer"
+        assert all(not c.final for c in gp_cfgs[:-1]) and gp_cfgs[-1].final, \
+            "exactly the last GP layer must have final=True"
+
+
+def init_dgp(
+    key: jax.Array,
+    config: DGPConfig,
+    Z_inits: Sequence[jax.Array | None] | None = None,
+    inner_q_sqrt_scale: float = 1e-5,
+    noise_variance: float = 0.05,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Full model parameter pytree.
+
+    Inner GP layers start near-deterministic (q_sqrt = 1e-5 * I, the
+    doubly-stochastic DGP convention) so early training behaves like a
+    single GP; the final layer starts at q_sqrt = I.
+    """
+    keys = jax.random.split(key, len(config.layers) + 1)
+    layer_params = []
+    gp_idx = 0
+    n_gp = sum(isinstance(c, GPLayerConfig) for c in config.layers)
+    Z_iter = list(Z_inits) if Z_inits is not None else [None] * n_gp
+    for i, cfg in enumerate(config.layers):
+        if isinstance(cfg, GPLayerConfig):
+            scale = 1.0 if cfg.final else inner_q_sqrt_scale
+            layer_params.append(gp_layer_init(
+                keys[i], cfg, Z=Z_iter[gp_idx], q_sqrt_scale=scale, dtype=dtype))
+            gp_idx += 1
+        else:
+            layer_params.append(lv_layer_init(keys[i], cfg, dtype=dtype))
+    return {
+        "layers": layer_params,
+        "likelihood": likelihoods.gaussian_params(noise_variance, dtype=dtype),
+    }
+
+
+def propagate(
+    params,
+    config: DGPConfig,
+    X: jax.Array,                  # [B, d_x]
+    key: jax.Array,
+    lead: tuple,                   # leading sample axes, e.g. (S,) or (K,)
+    *,
+    lv_mode: str = LatentVarMode.POSTERIOR,
+    Y: jax.Array | None = None,
+    ws_given: Sequence[jax.Array] | None = None,
+):
+    """Thread samples through the layer stack (SURVEY.md §3.2).
+
+    Returns (fmean, fvar, log_w, local_kl):
+      fmean/fvar: [*lead, B, d_y] final-layer conditional moments
+      log_w:      [*lead, B] summed LV importance log-weights
+      local_kl:   [B] summed LV analytic local KLs
+    """
+    B = X.shape[0]
+    dtype = X.dtype
+    F = jnp.broadcast_to(X, lead + X.shape)
+    log_w = jnp.zeros(lead + (B,), dtype)
+    local_kl = jnp.zeros((B,), dtype)
+    final_out = None
+    lv_idx = 0
+    for i, cfg in enumerate(config.layers):
+        lkey = jax.random.fold_in(key, i)
+        if isinstance(cfg, LVLayerConfig):
+            w_given = None if ws_given is None else ws_given[lv_idx]
+            F, lw_i, kl_i = lv_layer_propagate(
+                params["layers"][i], cfg, F, lkey, mode=lv_mode, X0=X, Y=Y,
+                w_given=w_given)
+            log_w = log_w + lw_i
+            local_kl = local_kl + kl_i
+            lv_idx += 1
+        else:
+            F, moments = gp_layer_propagate(
+                params["layers"][i], cfg, F, lkey, jitter=config.jitter)
+            if cfg.final:
+                final_out = moments
+    fmean, fvar = final_out
+    return fmean, fvar, log_w, local_kl
+
+
+def gp_kls(params, config: DGPConfig) -> jax.Array:
+    """Sum of global whitened KL(q(u) || p(u)) over GP layers."""
+    total = 0.0
+    for i, cfg in enumerate(config.layers):
+        if isinstance(cfg, GPLayerConfig):
+            total = total + gp_layer_kl(params["layers"][i], cfg)
+    return total
+
+
+def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
+         key: jax.Array) -> jax.Array:
+    """The training objective (maximize): 'vi' or 'iw' per config."""
+    B = X.shape[0]
+    scale = config.num_data / B
+    if config.objective == "vi":
+        S = config.num_samples
+        fmean, fvar, _, local_kl = propagate(
+            params, config, X, key, (S,), lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+        ve = likelihoods.variational_expectations(
+            params["likelihood"], fmean, fvar, Y)          # [S, B]
+        datafit = jnp.sum(jnp.mean(ve, axis=0) - local_kl)
+        return scale * datafit - gp_kls(params, config)
+    # 'iw'
+    K = config.num_iw_samples
+    fmean, fvar, log_w, _ = propagate(
+        params, config, X, key, (K,), lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+    ve = likelihoods.variational_expectations(
+        params["likelihood"], fmean, fvar, Y)              # [K, B]
+    iw = jax.nn.logsumexp(ve + log_w, axis=0) - jnp.log(float(K))  # [B]
+    return scale * jnp.sum(iw) - gp_kls(params, config)
+
+
+def predict_f(params, config: DGPConfig, X: jax.Array, key: jax.Array,
+              num_samples: int | None = None, *,
+              lv_mode: str = LatentVarMode.PRIOR,
+              ws_given=None):
+    """S propagated samples of the final-layer moments: [S, B, d_y] x2.
+
+    Prediction draws latents from the PRIOR (SURVEY.md §3.3).
+    """
+    S = num_samples or config.num_samples
+    fmean, fvar, _, _ = propagate(
+        params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given)
+    return fmean, fvar
+
+
+def predict_y(params, config: DGPConfig, X: jax.Array, key: jax.Array,
+              num_samples: int | None = None):
+    """Mixture predictive moments: mean/var of (1/S) sum_s N(m_s, v_s + s2)."""
+    fmean, fvar = predict_f(params, config, X, key, num_samples)
+    m, v = likelihoods.predict_mean_and_var(params["likelihood"], fmean, fvar)
+    mix_mean = jnp.mean(m, axis=0)
+    mix_var = jnp.mean(v + jnp.square(m), axis=0) - jnp.square(mix_mean)
+    return mix_mean, mix_var
+
+
+def predict_log_density(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
+                        key: jax.Array, num_samples: int | None = None) -> jax.Array:
+    """Per-point mixture test log-likelihood:
+    logsumexp_s log N(y | m_s, v_s + s2) - log S  -> [B]."""
+    S = num_samples or config.num_samples
+    fmean, fvar = predict_f(params, config, X, key, S)
+    logp = likelihoods.predict_density(params["likelihood"], fmean, fvar, Y)  # [S, B]
+    return jax.nn.logsumexp(logp, axis=0) - jnp.log(float(S))

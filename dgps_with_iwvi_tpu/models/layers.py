@@ -1,0 +1,197 @@
+"""DGP layer stack: sparse-variational GP layers and latent-variable layers.
+
+TPU-native rebuild of ref:dgps_with_iwvi/layers.py (Layer / GPLayer /
+LatentVariableLayer / LatentVarMode — SURVEY.md §2.1), redesigned as static
+dataclass configs + pure param pytrees + pure propagate functions so the
+whole layer stack traces into one XLA program:
+
+- No Parameterized object graph; a layer is (config, params).
+- Arbitrary leading sample axes (the S MC samples and K importance samples)
+  broadcast through every layer as batch dims of MXU matmuls.
+- chol(Kuu) is computed once per GP layer per step and shared between the
+  conditional and the KL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conditionals, kernels, kl, likelihoods, linalg, mean_functions
+from . import encoders
+
+
+class LatentVarMode:
+    """Where latent-variable layers get w from (SURVEY.md §2.1).
+
+    POSTERIOR: amortized q(w | x, y) — training.
+    PRIOR:     w ~ N(0, I) — prediction.
+    GIVEN:     externally fixed w — latent traversals / plotting.
+    """
+
+    POSTERIOR = "posterior"
+    PRIOR = "prior"
+    GIVEN = "given"
+
+
+@dataclasses.dataclass(frozen=True)
+class GPLayerConfig:
+    d_in: int
+    d_out: int
+    num_inducing: int
+    kernel_kind: str = "rbf"
+    mean_function: str = "skip"  # 'skip' (identity / fixed linear) or 'zero'
+    final: bool = False  # final layers return (mean, var) instead of samples
+
+
+@dataclasses.dataclass(frozen=True)
+class LVLayerConfig:
+    d_w: int
+    d_in: int  # width of the propagated features entering this layer
+    d_y: int   # observation dim fed to the amortized encoder
+    encoder_hidden: tuple = (20, 20)
+    encoder_init_logvar: float = -4.6
+
+
+LayerConfig = GPLayerConfig | LVLayerConfig
+
+
+def gp_layer_init(
+    key: jax.Array,
+    cfg: GPLayerConfig,
+    Z: jax.Array | None = None,
+    lengthscales=1.0,
+    kernel_variance: float = 1.0,
+    q_sqrt_scale: float = 1.0,
+    dtype=jnp.float32,
+):
+    """Parameter pytree for one whitened SVGP layer.
+
+    Defaults mirror the reference stack: q_mu = 0, q_sqrt = I (times an
+    optional scale — inner DGP layers commonly start at 1e-5-ish to keep
+    early layers near-deterministic), ARD lengthscales, unit variance.
+    Z defaults to standard-normal; the experiment builder overrides it with
+    k-means centres (SURVEY.md §2.5).
+    """
+    kz, kq = jax.random.split(key)
+    if Z is None:
+        Z = jax.random.normal(kz, (cfg.num_inducing, cfg.d_in), dtype)
+    params = {
+        "kernel": kernels.rbf_params(
+            cfg.d_in, variance=kernel_variance, lengthscales=lengthscales,
+            dtype=dtype),
+        "Z": jnp.asarray(Z, dtype),
+        "q_mu": jnp.zeros((cfg.num_inducing, cfg.d_out), dtype),
+        "q_sqrt": jnp.broadcast_to(
+            q_sqrt_scale * jnp.eye(cfg.num_inducing, dtype=dtype),
+            (cfg.d_out, cfg.num_inducing, cfg.num_inducing)).copy(),
+    }
+    W = mean_functions.skip_projection(cfg.d_in, cfg.d_out, dtype)
+    if cfg.mean_function == "skip" and W is not None:
+        params["mean_W"] = W  # fixed; stop_gradient applied in propagate
+    return params
+
+
+def lv_layer_init(key: jax.Array, cfg: LVLayerConfig, dtype=jnp.float32):
+    return {
+        "encoder": encoders.encoder_init(
+            key, cfg.d_in + cfg.d_y, cfg.d_w, cfg.encoder_hidden,
+            cfg.encoder_init_logvar, dtype),
+    }
+
+
+def gp_layer_propagate(
+    params,
+    cfg: GPLayerConfig,
+    F: jax.Array,          # [..., B, d_in]
+    key: jax.Array | None,
+    *,
+    jitter: float = linalg.DEFAULT_JITTER,
+):
+    """One whitened-SVGP layer step.
+
+    Non-final: returns a reparameterized marginal sample [..., B, d_out]
+    (plus the conditional moments). Final: returns (mean, var) for the
+    analytic/collapsed Gaussian data term — no sample drawn, matching the
+    reference objective (SURVEY.md §3.2).
+    """
+    q_sqrt = jnp.tril(params["q_sqrt"])
+    out = conditionals.conditional(
+        F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
+        kernel_kind=cfg.kernel_kind, jitter=jitter)
+    if cfg.mean_function == "skip":
+        W = params.get("mean_W")
+        if W is not None:
+            W = jax.lax.stop_gradient(W)
+        mean = out.mean + mean_functions.apply_mean_function(F, W)
+    else:
+        mean = out.mean
+    if cfg.final:
+        return None, (mean, out.var)
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    sample = mean + jnp.sqrt(jnp.maximum(out.var, 0.0)) * eps
+    return sample, (mean, out.var)
+
+
+def gp_layer_kl(params, cfg: GPLayerConfig) -> jax.Array:
+    del cfg
+    return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
+
+
+def lv_layer_propagate(
+    params,
+    cfg: LVLayerConfig,
+    F: jax.Array,              # [..., B, d_in]
+    key: jax.Array | None,
+    *,
+    mode: str = LatentVarMode.POSTERIOR,
+    X0: jax.Array | None = None,   # [B, d_x] original inputs (encoder input)
+    Y: jax.Array | None = None,    # [B, d_y] targets (encoder input)
+    w_given: jax.Array | None = None,
+):
+    """Concatenate a latent w onto the features.
+
+    Returns (F_aug, log_w, local_kl):
+      log_w  : [..., B] per-sample log p(w) - log q(w|x,y) (IW bound);
+               zeros in PRIOR/GIVEN modes.
+      local_kl: [B] analytic KL(q(w|x,y) || p(w)) (VI bound local term);
+               zeros in PRIOR/GIVEN modes.
+    """
+    lead = F.shape[:-2]
+    B = F.shape[-2]
+    dtype = F.dtype
+    if mode == LatentVarMode.POSTERIOR:
+        assert X0 is not None and Y is not None, "posterior mode needs (x, y)"
+        s = jnp.concatenate([X0, Y], axis=-1)
+        mu, log_var = encoders.encode(params["encoder"], s)  # [B, d_w]
+        eps = jax.random.normal(key, lead + (B, cfg.d_w), dtype)
+        w = mu + jnp.exp(0.5 * log_var) * eps
+        log_w = kl.std_gaussian_logpdf(w) - kl.diag_gaussian_logpdf(w, mu, log_var)
+        local_kl = kl.gauss_kl_diag_white(mu, log_var)
+    elif mode == LatentVarMode.PRIOR:
+        w = jax.random.normal(key, lead + (B, cfg.d_w), dtype)
+        log_w = jnp.zeros(lead + (B,), dtype)
+        local_kl = jnp.zeros((B,), dtype)
+    elif mode == LatentVarMode.GIVEN:
+        assert w_given is not None
+        w = jnp.broadcast_to(w_given, lead + (B, cfg.d_w)).astype(dtype)
+        log_w = jnp.zeros(lead + (B,), dtype)
+        local_kl = jnp.zeros((B,), dtype)
+    else:
+        raise ValueError(f"unknown LatentVarMode {mode!r}")
+    F_aug = jnp.concatenate([jnp.broadcast_to(F, lead + F.shape[-2:]), w], axis=-1)
+    return F_aug, log_w, local_kl
+
+
+def layer_widths(configs: Sequence[LayerConfig], d_x: int) -> list[int]:
+    """Feature width entering each layer (sanity check for builders)."""
+    widths = [d_x]
+    for cfg in configs:
+        if isinstance(cfg, LVLayerConfig):
+            widths.append(widths[-1] + cfg.d_w)
+        else:
+            widths.append(cfg.d_out)
+    return widths

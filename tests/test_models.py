@@ -1,0 +1,277 @@
+"""Model/objective tests (SURVEY.md §4 items 1-2).
+
+- SVGP ELBO at the closed-form optimal q with Z=X equals the exact GP log
+  marginal likelihood (Titsias collapse — the strongest end-to-end check of
+  conditional + KL + likelihood plumbing).
+- DGP_IWVI(K=1) == DGP_VI(S=1) exactly for GP-only stacks (same key).
+- IW bound is monotone non-decreasing in K in expectation on LV models.
+- LatentVarMode plumbing, builder conventions, prediction mixture math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgps_with_iwvi_tpu.models import (
+    BuildArgs,
+    DGPConfig,
+    GPLayerConfig,
+    LVLayerConfig,
+    LatentVarMode,
+    build_config,
+    build_model,
+    elbo,
+    init_dgp,
+    kmeans_centers,
+    predict_f,
+    predict_log_density,
+    predict_y,
+    propagate,
+)
+from dgps_with_iwvi_tpu.ops import kernels, linalg
+
+KEY = jax.random.PRNGKey(42)
+
+
+def _toy_data(n=20, d=2, dy=1, key=KEY, dtype=jnp.float64):
+    kx, ky = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d), dtype)
+    Y = jnp.sin(X.sum(-1, keepdims=True)) + 0.1 * jax.random.normal(ky, (n, dy), dtype)
+    return X, Y
+
+
+class TestSVGPCollapse:
+    def test_elbo_equals_log_marginal_at_optimal_q(self):
+        """Z=X, optimal whitened q -> ELBO == log N(y | 0, Kff + s2 I)."""
+        n, d = 15, 2
+        X, Y = _toy_data(n, d)
+        s2 = 0.1
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=d, d_out=1, num_inducing=n,
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi", num_samples=1, jitter=1e-12)
+        params = init_dgp(KEY, cfg, Z_inits=[X], noise_variance=s2,
+                          dtype=jnp.float64)
+
+        # Closed-form optimal whitened q for the Gaussian likelihood:
+        #   A = Lm^-1 Kuf;  S_v = (I + A A^T / s2)^-1;  m_v = S_v A y / s2
+        Kuu = kernels.K(params["layers"][0]["kernel"], X, X)
+        Lm = np.linalg.cholesky(np.asarray(Kuu) + 1e-12 * np.eye(n))
+        Kuf = np.asarray(Kuu)  # Z = X
+        A = np.linalg.solve(Lm, Kuf)
+        Sv = np.linalg.inv(np.eye(n) + A @ A.T / s2)
+        mv = Sv @ A @ np.asarray(Y[:, 0]) / s2
+        params["layers"][0]["q_mu"] = jnp.asarray(mv)[:, None]
+        params["layers"][0]["q_sqrt"] = jnp.asarray(
+            np.linalg.cholesky(Sv))[None]
+
+        # noise_variance went through the f64 softplus roundtrip; recover it
+        from dgps_with_iwvi_tpu.ops.likelihoods import noise_variance
+        s2_actual = float(noise_variance(params["likelihood"]))
+
+        got = float(elbo(params, cfg, X, Y, KEY))
+        Kff = np.asarray(Kuu) + s2_actual * np.eye(n)
+        _, logdet = np.linalg.slogdet(Kff)
+        y = np.asarray(Y[:, 0])
+        expected = -0.5 * (n * np.log(2 * np.pi) + logdet + y @ np.linalg.solve(Kff, y))
+        np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+    def test_elbo_lower_bounds_log_marginal(self):
+        """Any q: ELBO <= exact log marginal (Z=X)."""
+        n, d = 12, 2
+        X, Y = _toy_data(n, d)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=d, d_out=1, num_inducing=n,
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi", jitter=1e-12)
+        params = init_dgp(KEY, cfg, Z_inits=[X], noise_variance=0.1,
+                          dtype=jnp.float64)
+        from dgps_with_iwvi_tpu.ops.likelihoods import noise_variance
+        s2 = float(noise_variance(params["likelihood"]))
+        Kuu = np.asarray(kernels.K(params["layers"][0]["kernel"], X, X))
+        Kff = Kuu + s2 * np.eye(n)
+        y = np.asarray(Y[:, 0])
+        _, logdet = np.linalg.slogdet(Kff)
+        exact = -0.5 * (n * np.log(2 * np.pi) + logdet + y @ np.linalg.solve(Kff, y))
+        got = float(elbo(params, cfg, X, Y, KEY))
+        assert got <= exact + 1e-9
+
+
+class TestObjectiveIdentities:
+    def _gg_config(self, d, n, objective, S, K):
+        return DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=d, d_out=d, num_inducing=8),
+                GPLayerConfig(d_in=d, d_out=1, num_inducing=8, final=True),
+            ),
+            num_data=n, objective=objective, num_samples=S, num_iw_samples=K)
+
+    def test_iw_k1_equals_vi_s1_gp_only(self):
+        X, Y = _toy_data(16, 3)
+        cfg_vi = self._gg_config(3, 16, "vi", 1, 1)
+        cfg_iw = self._gg_config(3, 16, "iw", 1, 1)
+        params = init_dgp(KEY, cfg_vi, dtype=jnp.float64)
+        v1 = float(elbo(params, cfg_vi, X, Y, jax.random.PRNGKey(7)))
+        v2 = float(elbo(params, cfg_iw, X, Y, jax.random.PRNGKey(7)))
+        np.testing.assert_allclose(v1, v2, rtol=1e-12)
+
+    def test_iw_k1_equals_vi_in_expectation_lv(self):
+        """With LV layers, IW(K=1) matches VI(S=1) in expectation."""
+        d, n = 2, 10
+        X, Y = _toy_data(n, d)
+        mk = lambda obj: DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=d, d_y=1, encoder_init_logvar=-1.0),
+                GPLayerConfig(d_in=d + 1, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=n, objective=obj, num_samples=1, num_iw_samples=1)
+        cfg_vi, cfg_iw = mk("vi"), mk("iw")
+        params = init_dgp(KEY, cfg_vi, dtype=jnp.float64)
+        # jitter encoder so q(w) != p(w) and the identity is non-trivial
+        enc = params["layers"][0]["encoder"]
+        enc["mu_head"]["b"] = enc["mu_head"]["b"] + 0.4
+        keys = jax.random.split(jax.random.PRNGKey(3), 3000)
+        vi_vals = jax.vmap(lambda k: elbo(params, cfg_vi, X, Y, k))(keys)
+        iw_vals = jax.vmap(lambda k: elbo(params, cfg_iw, X, Y, k))(keys)
+        # standard error of the difference
+        diff = np.asarray(iw_vals - vi_vals)
+        se = diff.std() / np.sqrt(len(diff))
+        assert abs(diff.mean()) < 5 * se + 1e-6, (diff.mean(), se)
+
+    def test_iw_monotone_in_k(self):
+        """E[L_IW] is non-decreasing in K (IWAE bound property)."""
+        d, n = 2, 10
+        X, Y = _toy_data(n, d)
+        mk = lambda K: DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=d, d_y=1, encoder_init_logvar=-0.5),
+                GPLayerConfig(d_in=d + 1, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=n, objective="iw", num_iw_samples=K)
+        params = init_dgp(KEY, mk(1), dtype=jnp.float64)
+        enc = params["layers"][0]["encoder"]
+        enc["mu_head"]["b"] = enc["mu_head"]["b"] + 0.5
+        keys = jax.random.split(jax.random.PRNGKey(11), 800)
+        means = []
+        for K in (1, 5, 20):
+            cfg = mk(K)
+            vals = jax.vmap(lambda k: elbo(params, cfg, X, Y, k))(keys)
+            means.append(float(jnp.mean(vals)))
+        assert means[0] <= means[1] + 0.05
+        assert means[1] <= means[2] + 0.05
+
+
+class TestLatentVarModes:
+    def _lv_model(self, d=2, n=12):
+        X, Y = _toy_data(n, d)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=2, d_in=d, d_y=1),
+                GPLayerConfig(d_in=d + 2, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=n)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        return cfg, params, X, Y
+
+    def test_posterior_requires_y(self):
+        cfg, params, X, Y = self._lv_model()
+        with pytest.raises(AssertionError):
+            propagate(params, cfg, X, KEY, (1,),
+                      lv_mode=LatentVarMode.POSTERIOR, Y=None)
+
+    def test_prior_mode_no_weights(self):
+        cfg, params, X, Y = self._lv_model()
+        fmean, fvar, log_w, local_kl = propagate(
+            params, cfg, X, KEY, (3,), lv_mode=LatentVarMode.PRIOR)
+        assert fmean.shape == (3, 12, 1)
+        assert float(jnp.abs(log_w).max()) == 0.0
+        assert float(jnp.abs(local_kl).max()) == 0.0
+
+    def test_given_mode_deterministic_latents(self):
+        cfg, params, X, Y = self._lv_model()
+        w = jnp.zeros((12, 2), jnp.float64)
+        out1 = propagate(params, cfg, X, jax.random.PRNGKey(1), (1,),
+                         lv_mode=LatentVarMode.GIVEN, ws_given=[w])
+        out2 = propagate(params, cfg, X, jax.random.PRNGKey(2), (1,),
+                         lv_mode=LatentVarMode.GIVEN, ws_given=[w])
+        # single GP layer is final => deterministic given w: keys don't matter
+        np.testing.assert_allclose(out1[0], out2[0])
+
+
+class TestBuilder:
+    def test_configuration_tokens(self):
+        args = BuildArgs(configuration="LGG", num_inducing=16, d_w=1)
+        cfg = build_config(args, d_x=5, d_y=1, num_data=100)
+        kinds = [type(c).__name__ for c in cfg.layers]
+        assert kinds == ["LVLayerConfig", "GPLayerConfig", "GPLayerConfig"]
+        assert cfg.layers[1].d_in == 6  # d_x + d_w
+        assert cfg.layers[1].d_out == 5  # min(d_x, 30)
+        assert cfg.layers[2].final and cfg.layers[2].d_out == 1
+
+    def test_bad_configuration_rejected(self):
+        with pytest.raises(AssertionError):
+            build_config(BuildArgs(configuration="GL"), 3, 1, 10)
+        with pytest.raises(AssertionError):
+            build_config(BuildArgs(configuration="GX"), 3, 1, 10)
+
+    def test_build_model_runs_and_differentiates(self):
+        X, Y = _toy_data(40, 4)
+        args = BuildArgs(configuration="LG", mode="IW", num_inducing=10,
+                         num_iw_samples=3)
+        cfg, params = build_model(KEY, args, X, Y)
+        val, grads = jax.value_and_grad(
+            lambda p: -elbo(p, cfg, X, Y, KEY))(params)
+        assert np.isfinite(val)
+        flat = jax.tree.leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+        # fixed skip projections carry zero gradient
+        for lp, lc in zip(grads["layers"], cfg.layers):
+            if isinstance(lc, GPLayerConfig) and "mean_W" in lp:
+                assert float(jnp.abs(lp["mean_W"]).max()) == 0.0
+
+    def test_kmeans_centers(self):
+        X = jnp.concatenate([
+            jnp.zeros((30, 2)), 10.0 + jnp.zeros((30, 2))]) \
+            + 0.1 * jax.random.normal(KEY, (60, 2))
+        C = kmeans_centers(X, 2, key=KEY)
+        C = np.sort(np.asarray(C[:, 0]))
+        np.testing.assert_allclose(C, [0.0, 10.0], atol=0.5)
+
+
+class TestPrediction:
+    def test_mixture_moments_match_sampling(self):
+        X, Y = _toy_data(10, 2)
+        cfg = DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=2, d_out=2, num_inducing=6),
+                GPLayerConfig(d_in=2, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=10, num_samples=2000)
+        params = init_dgp(KEY, cfg, inner_q_sqrt_scale=0.5, dtype=jnp.float64)
+        params["layers"][1]["q_mu"] = 0.5 + params["layers"][1]["q_mu"]
+        mix_mean, mix_var = predict_y(params, cfg, X, jax.random.PRNGKey(5))
+        fmean, fvar = predict_f(params, cfg, X, jax.random.PRNGKey(5), 2000)
+        from dgps_with_iwvi_tpu.ops.likelihoods import predict_mean_and_var
+        m, v = predict_mean_and_var(params["likelihood"], fmean, fvar)
+        np.testing.assert_allclose(mix_mean, m.mean(0), rtol=1e-9)
+        ref_var = (v + m**2).mean(0) - m.mean(0) ** 2
+        np.testing.assert_allclose(mix_var, ref_var, rtol=1e-9)
+
+    def test_log_density_matches_brute_force(self):
+        X, Y = _toy_data(8, 2)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=2, d_out=1, num_inducing=5, final=True),),
+            num_data=8, num_samples=16)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        ld = predict_log_density(params, cfg, X, Y, jax.random.PRNGKey(9))
+        assert ld.shape == (8,)
+        from scipy.stats import norm
+        fmean, fvar = predict_f(params, cfg, X, jax.random.PRNGKey(9), 16)
+        from dgps_with_iwvi_tpu.ops.likelihoods import noise_variance
+        s2 = float(noise_variance(params["likelihood"]))
+        logp = norm.logpdf(np.asarray(Y[:, 0])[None],
+                           np.asarray(fmean[..., 0]),
+                           np.sqrt(np.asarray(fvar[..., 0]) + s2))
+        expected = np.log(np.exp(logp).mean(0))
+        np.testing.assert_allclose(np.asarray(ld), expected, rtol=1e-6)
