@@ -1,0 +1,127 @@
+"""Natural-gradient optimizer for Gaussian variational parameters.
+
+TPU-native rebuild of gpflow:gpflow/training/natgrad_optimizer.py semantics
+(SURVEY.md §2.7): for each whitened variational block q(v) = N(m, S), one
+step of size gamma is a gradient step in natural-parameter space using the
+gradient taken w.r.t. expectation parameters:
+
+    eta   = (m, S + m m^T)            # expectation params
+    theta = (S^-1 m, -1/2 S^-1)       # natural params
+    theta <- theta - gamma * dL/deta
+    (m, S) <- from theta
+
+The reference implements the eta-gradient via a forward-over-reverse
+autodiff contortion (XiSqrtMeanVar); in JAX we take dL/d(m, S) directly —
+the loss is evaluated with q_sqrt = chol(S) so one value_and_grad yields
+(dm, G) — and apply the exact chain rule in closed form:
+
+    H      = (G + G^T)/2              # symmetric-manifold gradient
+    dL/deta1 = dm - 2 H m
+    dL/deta2 = H
+    S' = (S^-1 + 2 gamma H)^-1        # from theta2' = -1/2 S^-1 - gamma H
+    m' = S' (S^-1 m - gamma dL/deta1)
+
+For a conjugate (Gaussian-likelihood, full-batch, collapsed) block and
+gamma = 1 this lands exactly on the optimal posterior — tested.
+
+Known pitfall reproduced from the reference: too-large gamma can make
+S^-1 + 2 gamma H lose positive-definiteness; the Cholesky here goes through
+cholesky_with_jitter escalation and the caller can lower gamma.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.layers import GPLayerConfig
+from ..ops.linalg import cholesky_with_jitter, cho_solve
+
+
+def natgrad_layer_ids(config, which: str = "final") -> tuple:
+    """Indices of GP layers whose q(u) gets natural-gradient treatment.
+
+    'final' (reference default), 'all', or 'none' (SURVEY.md §2.5 wiring).
+    """
+    gp_ids = [i for i, c in enumerate(config.layers)
+              if isinstance(c, GPLayerConfig)]
+    if which == "final":
+        return (gp_ids[-1],)
+    if which == "all":
+        return tuple(gp_ids)
+    if which == "none":
+        return ()
+    raise ValueError(f"unknown natgrad selection {which!r}")
+
+
+def extract_natvars(params, layer_ids: Sequence[int]):
+    """Pull (m, S = L L^T) blocks out of the canonical (q_mu, q_sqrt) store."""
+    natvars = []
+    for i in layer_ids:
+        L = jnp.tril(params["layers"][i]["q_sqrt"])  # [D, M, M]
+        S = L @ jnp.swapaxes(L, -1, -2)
+        natvars.append({"q_mu": params["layers"][i]["q_mu"], "q_S": S})
+    return natvars
+
+
+def insert_natvars(params, natvars, layer_ids: Sequence[int]):
+    """Rebuild full params with q_sqrt = chol(S). Differentiable in natvars;
+    chol grads flow back to (m, S) so dL/dS comes out of one backward pass."""
+    layers = list(params["layers"])
+    for nv, i in zip(natvars, layer_ids):
+        lp = dict(layers[i])
+        lp["q_mu"] = nv["q_mu"]
+        lp["q_sqrt"] = jnp.linalg.cholesky(nv["q_S"])
+        layers[i] = lp
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def natgrad_update(natvars, nat_grads, gamma) -> list:
+    """Closed-form natural-gradient step on each (m, S) block.
+
+    nat_grads are the plain gradients of the LOSS (= -ELBO) w.r.t. (m, S)
+    from the insert_natvars parameterization. Batched over the output-dim
+    axis of each block ([M, D] means, [D, M, M] covariances).
+    """
+    new = []
+    for nv, g in zip(natvars, nat_grads):
+        m = nv["q_mu"]                     # [M, D]
+        S = nv["q_S"]                      # [D, M, M]
+        dm = g["q_mu"]                     # [M, D]
+        G = g["q_S"]                       # [D, M, M]
+        H = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+        # per-dim column vectors: [D, M, 1]
+        mT = jnp.swapaxes(m, 0, 1)[..., None]
+        dmT = jnp.swapaxes(dm, 0, 1)[..., None]
+        L = jnp.linalg.cholesky(S)
+        Sinv_m = cho_solve(L, mT)                      # [D, M, 1]
+        deta1 = dmT - 2.0 * (H @ mT)                   # [D, M, 1]
+        theta1_new = Sinv_m - gamma * deta1
+        # S' = (S^-1 + 2 gamma H)^-1, via chol of the new precision
+        eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+        Sinv = cho_solve(L, jnp.broadcast_to(eye, S.shape))
+        P = Sinv + 2.0 * gamma * H
+        P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+        Lp = cholesky_with_jitter(P, 1e-12, max_tries=4)
+        S_new = cho_solve(Lp, jnp.broadcast_to(eye, S.shape))
+        S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
+        m_new = jnp.swapaxes((S_new @ theta1_new)[..., 0], 0, 1)  # [M, D]
+        new.append({"q_mu": m_new, "q_S": S_new})
+    return new
+
+
+def natvars_to_canonical(natvars, params, layer_ids: Sequence[int]):
+    """Store updated (m, S) back as canonical (q_mu, q_sqrt = chol S)."""
+    layers = list(params["layers"])
+    for nv, i in zip(natvars, layer_ids):
+        lp = dict(layers[i])
+        lp["q_mu"] = nv["q_mu"]
+        lp["q_sqrt"] = cholesky_with_jitter(nv["q_S"], 1e-10, max_tries=4)
+        layers[i] = lp
+    out = dict(params)
+    out["layers"] = layers
+    return out

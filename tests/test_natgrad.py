@@ -1,0 +1,170 @@
+"""Natural-gradient tests (SURVEY.md §4 item 3).
+
+The load-bearing check: on a conjugate block (single SVGP layer, Gaussian
+likelihood, full batch) ONE natgrad step with gamma=1 from an arbitrary
+start lands exactly on the closed-form optimal whitened posterior
+    S* = (I + A A^T / s2)^-1,  m* = S* A y / s2,   A = Lm^-1 Kuf.
+This pins down every convention in the chain rule (symmetrization of dL/dS,
+eta/theta transforms, sign of the loss).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgps_with_iwvi_tpu.models import DGPConfig, GPLayerConfig, LVLayerConfig, elbo, init_dgp
+from dgps_with_iwvi_tpu.ops import kernels, likelihoods
+from dgps_with_iwvi_tpu.training import (
+    TrainConfig,
+    extract_natvars,
+    fit,
+    insert_natvars,
+    make_trainer,
+    natgrad_layer_ids,
+    natgrad_update,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _svgp_setup(n=18, m=7, d=2, s2=0.12):
+    kx, ky, kz = jax.random.split(KEY, 3)
+    X = jax.random.normal(kx, (n, d), jnp.float64)
+    Y = (jnp.sin(X.sum(-1, keepdims=True))
+         + 0.1 * jax.random.normal(ky, (n, 1), jnp.float64))
+    cfg = DGPConfig(
+        layers=(GPLayerConfig(d_in=d, d_out=1, num_inducing=m,
+                              mean_function="zero", final=True),),
+        num_data=n, objective="vi", jitter=1e-12)
+    Z = jax.random.normal(kz, (m, d), jnp.float64)
+    params = init_dgp(KEY, cfg, Z_inits=[Z], noise_variance=s2,
+                      dtype=jnp.float64)
+    return cfg, params, X, Y, Z
+
+
+def _optimal_whitened(params, X, Y, Z):
+    s2 = float(likelihoods.noise_variance(params["likelihood"]))
+    kp = params["layers"][0]["kernel"]
+    Kuu = np.asarray(kernels.K(kp, Z, Z)) + 1e-12 * np.eye(Z.shape[0])
+    Kuf = np.asarray(kernels.K(kp, Z, X))
+    Lm = np.linalg.cholesky(Kuu)
+    A = np.linalg.solve(Lm, Kuf)
+    S_opt = np.linalg.inv(np.eye(Z.shape[0]) + A @ A.T / s2)
+    m_opt = S_opt @ A @ np.asarray(Y[:, 0]) / s2
+    return m_opt, S_opt
+
+
+class TestConjugateExactness:
+    def test_one_step_gamma1_reaches_optimum(self):
+        cfg, params, X, Y, Z = _svgp_setup()
+        # random non-trivial start
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        M = Z.shape[0]
+        params["layers"][0]["q_mu"] = 0.7 * jax.random.normal(k1, (M, 1), jnp.float64)
+        R = 0.2 * jax.random.normal(k2, (M, M), jnp.float64)
+        params["layers"][0]["q_sqrt"] = jnp.tril(R + 2.0 * jnp.eye(M))[None]
+
+        layer_ids = natgrad_layer_ids(cfg, "final")
+        natvars = extract_natvars(params, layer_ids)
+
+        def loss(nv):
+            p = insert_natvars(params, nv, layer_ids)
+            return -elbo(p, cfg, X, Y, KEY)
+
+        g = jax.grad(loss)(natvars)
+        new = natgrad_update(natvars, g, gamma=1.0)
+
+        m_opt, S_opt = _optimal_whitened(params, X, Y, Z)
+        np.testing.assert_allclose(np.asarray(new[0]["q_mu"][:, 0]), m_opt,
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(new[0]["q_S"][0]), S_opt,
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_second_step_is_fixed_point(self):
+        cfg, params, X, Y, Z = _svgp_setup()
+        layer_ids = natgrad_layer_ids(cfg, "final")
+        natvars = extract_natvars(params, layer_ids)
+
+        def loss(nv):
+            return -elbo(insert_natvars(params, nv, layer_ids), cfg, X, Y, KEY)
+
+        for _ in range(2):
+            g = jax.grad(loss)(natvars)
+            prev = natvars
+            natvars = natgrad_update(natvars, g, gamma=1.0)
+        np.testing.assert_allclose(np.asarray(prev[0]["q_mu"]),
+                                   np.asarray(natvars[0]["q_mu"]), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(prev[0]["q_S"]),
+                                   np.asarray(natvars[0]["q_S"]), atol=1e-7)
+
+    def test_small_gamma_monotone_ascent(self):
+        cfg, params, X, Y, Z = _svgp_setup()
+        layer_ids = natgrad_layer_ids(cfg, "final")
+        natvars = extract_natvars(params, layer_ids)
+
+        def loss(nv):
+            return -elbo(insert_natvars(params, nv, layer_ids), cfg, X, Y, KEY)
+
+        vals = [float(loss(natvars))]
+        for _ in range(5):
+            g = jax.grad(loss)(natvars)
+            natvars = natgrad_update(natvars, g, gamma=0.3)
+            vals.append(float(loss(natvars)))
+        assert all(b <= a + 1e-10 for a, b in zip(vals[:-1], vals[1:])), vals
+
+
+class TestTrainer:
+    def _data(self, n=64, d=3):
+        kx, ky = jax.random.split(KEY)
+        X = jax.random.normal(kx, (n, d), jnp.float64)
+        Y = (jnp.sin(2 * X[:, :1]) + 0.3 * X[:, 1:2] ** 2
+             + 0.05 * jax.random.normal(ky, (n, 1), jnp.float64))
+        return X, Y
+
+    def test_split_merge_roundtrip(self):
+        cfg, params, X, Y, Z = _svgp_setup()
+        tc = TrainConfig(natgrad="final", minibatch_size=100, iterations=1)
+        init_fn, step_fn, chunk_fn, params_fn = make_trainer(cfg, tc)
+        state = init_fn(params)
+        p2 = params_fn(state)
+        np.testing.assert_allclose(np.asarray(p2["layers"][0]["q_mu"]),
+                                   np.asarray(params["layers"][0]["q_mu"]))
+        np.testing.assert_allclose(np.asarray(jnp.tril(p2["layers"][0]["q_sqrt"])),
+                                   np.asarray(jnp.tril(params["layers"][0]["q_sqrt"])),
+                                   atol=1e-8)
+
+    def test_fit_improves_elbo_adam_only(self):
+        X, Y = self._data()
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=10,
+                                  mean_function="zero", final=True),),
+            num_data=64, objective="vi")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        before = float(elbo(params, cfg, X, Y, KEY))
+        tc = TrainConfig(lr=1e-2, natgrad="none", minibatch_size=64,
+                         iterations=200, steps_per_call=50)
+        trained, _ = fit(KEY, cfg, params, X, Y, tc)
+        after = float(elbo(trained, cfg, X, Y, KEY))
+        assert after > before + 1.0, (before, after)
+
+    def test_fit_natgrad_joint_and_alternating(self):
+        X, Y = self._data()
+        for schedule in ("joint", "alternating"):
+            cfg = DGPConfig(
+                layers=(
+                    LVLayerConfig(d_w=1, d_in=3, d_y=1),
+                    GPLayerConfig(d_in=4, d_out=1, num_inducing=8, final=True),
+                ),
+                num_data=64, objective="iw", num_iw_samples=5)
+            params = init_dgp(KEY, cfg, dtype=jnp.float64)
+            keys = jax.random.split(jax.random.PRNGKey(1), 64)
+            before = float(jnp.mean(jax.vmap(
+                lambda k: elbo(params, cfg, X, Y, k))(keys[:16])))
+            tc = TrainConfig(lr=1e-2, gamma=0.05, natgrad="final",
+                             schedule=schedule, minibatch_size=64,
+                             iterations=150, steps_per_call=50)
+            trained, state = fit(jax.random.PRNGKey(2), cfg, params, X, Y, tc)
+            after = float(jnp.mean(jax.vmap(
+                lambda k: elbo(trained, cfg, X, Y, k))(keys[16:32])))
+            assert after > before + 1.0, (schedule, before, after)
+            assert int(state.step) == 150
