@@ -1,0 +1,141 @@
+"""UCI regression datasets: registry, splits, normalization.
+
+TPU-native rebuild of bb:bayesian_benchmarks/data.py (SURVEY.md §2.5): the
+UCI suite the reference evaluates on, with the same conventions —
+90/10 train/test split keyed by a split index, X and Y standardized by
+TRAIN-split mean/std, test log-likelihood reported in ORIGINAL y units by
+subtracting log(sigma_y_train).
+
+This container is zero-egress, so instead of bb's urllib downloads the
+loader resolves, in order:
+  1. a pre-staged file `<data_dir>/<name>.npz` with arrays X [N, D], Y [N, 1]
+     (stage these from the real UCI sources when network is available);
+  2. a deterministic synthetic surrogate matched to the dataset's (N, D)
+     metadata — a fixed random-feature nonlinear regression with
+     heteroscedastic noise, seeded by the dataset name, so experiments are
+     reproducible end-to-end offline. Results on surrogates are clearly
+     tagged via `Dataset.synthetic`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+# name -> (N, D) of the real UCI regression suite (bb conventions)
+UCI_REGISTRY: Dict[str, Tuple[int, int]] = {
+    "boston": (506, 13),
+    "concrete": (1030, 8),
+    "energy": (768, 8),
+    "kin8nm": (8192, 8),
+    "naval": (11934, 16),
+    "power": (9568, 4),
+    "protein": (45730, 9),
+    "wine_red": (1599, 11),
+    "yacht": (308, 6),
+    "year": (515345, 90),
+}
+
+DEFAULT_DATA_DIR = os.environ.get(
+    "DGP_DATA_DIR", os.path.join(os.path.expanduser("~"), ".dgp_data"))
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Standardized train/test split, mirroring bb's regression data object."""
+
+    name: str
+    X_train: np.ndarray   # [Ntr, D] standardized
+    Y_train: np.ndarray   # [Ntr, 1] standardized
+    X_test: np.ndarray
+    Y_test: np.ndarray
+    X_mean: np.ndarray
+    X_std: np.ndarray
+    Y_mean: np.ndarray
+    Y_std: np.ndarray     # needed to report metrics in original units
+    split: int = 0
+    synthetic: bool = False
+
+    @property
+    def N(self) -> int:
+        return self.X_train.shape[0]
+
+    @property
+    def D(self) -> int:
+        return self.X_train.shape[1]
+
+
+def _synthetic_regression(name: str, n: int, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic nonlinear regression surrogate for offline runs.
+
+    Random-feature target: y = w.cos(Omega x + b) + heteroscedastic noise,
+    with all randomness seeded from the dataset name so every session
+    regenerates identical data.
+    """
+    seed = int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, d)
+    n_feat = 64
+    Omega = rng.randn(d, n_feat) / np.sqrt(d)
+    b = rng.uniform(0, 2 * np.pi, n_feat)
+    w = rng.randn(n_feat) / np.sqrt(n_feat)
+    f = np.cos(X @ Omega + b) @ w
+    noise_scale = 0.1 + 0.1 * (np.tanh(f) + 1.0)  # heteroscedastic
+    y = f + noise_scale * rng.randn(n)
+    return X.astype(np.float64), y[:, None].astype(np.float64)
+
+
+def _load_raw(name: str, data_dir: str) -> tuple[np.ndarray, np.ndarray, bool]:
+    path = os.path.join(data_dir, f"{name}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            X, Y = np.asarray(z["X"], np.float64), np.asarray(z["Y"], np.float64)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        return X, Y, False
+    if name in UCI_REGISTRY:
+        n, d = UCI_REGISTRY[name]
+        X, Y = _synthetic_regression(name, n, d)
+        return X, Y, True
+    raise FileNotFoundError(
+        f"dataset {name!r}: no pre-staged file at {path} and not in the UCI "
+        f"registry ({sorted(UCI_REGISTRY)})")
+
+
+def get_regression_data(
+    name: str,
+    split: int = 0,
+    prop: float = 0.9,
+    data_dir: str = DEFAULT_DATA_DIR,
+    dtype=np.float32,
+    max_n: int | None = None,
+) -> Dataset:
+    """bb.data.get_regression_data equivalent.
+
+    Split: seeded permutation by split index; first prop*N rows train.
+    Standardization by train mean/std (zero-variance dims get std 1).
+    """
+    X, Y, synthetic = _load_raw(name, data_dir)
+    if max_n is not None and X.shape[0] > max_n:
+        X, Y = X[:max_n], Y[:max_n]
+    N = X.shape[0]
+    perm = np.random.RandomState(split).permutation(N)
+    n_train = int(prop * N)
+    tr, te = perm[:n_train], perm[n_train:]
+
+    X_mean, X_std = X[tr].mean(0), X[tr].std(0)
+    X_std = np.where(X_std <= 1e-10, 1.0, X_std)
+    Y_mean, Y_std = Y[tr].mean(0), Y[tr].std(0)
+    Y_std = np.where(Y_std <= 1e-10, 1.0, Y_std)
+
+    std = lambda A, m, s: ((A - m) / s).astype(dtype)
+    return Dataset(
+        name=name,
+        X_train=std(X[tr], X_mean, X_std), Y_train=std(Y[tr], Y_mean, Y_std),
+        X_test=std(X[te], X_mean, X_std), Y_test=std(Y[te], Y_mean, Y_std),
+        X_mean=X_mean, X_std=X_std, Y_mean=Y_mean, Y_std=Y_std,
+        split=split, synthetic=synthetic)

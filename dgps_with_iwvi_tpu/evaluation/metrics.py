@@ -1,0 +1,70 @@
+"""Test metrics: mixture test log-likelihood and RMSE in original y units.
+
+TPU-native rebuild of bb:bayesian_benchmarks/tasks/regression.py metrics +
+the reference's evaluation path (SURVEY.md §3.3): sample w ~ prior, propagate
+S samples, score the equally-weighted Gaussian mixture
+    p(y*) ~= (1/S) sum_s N(y* | m_s, v_s + s2)
+via logsumexp, and un-normalize — loglik shifts by -sum log(sigma_y),
+RMSE scales by sigma_y. Evaluation batches over the test set in fixed-size
+chunks (padded so every chunk hits the same compiled program).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import dgp
+
+
+def evaluate(
+    params,
+    config,
+    X_test,
+    Y_test,
+    key: jax.Array,
+    *,
+    y_std: np.ndarray,
+    num_samples: int = 100,
+    batch_size: int = 1024,
+):
+    """-> dict(test_loglik, test_rmse, test_loglik_normalized, test_rmse_normalized).
+
+    test_loglik is the mean per-point mixture log-density in ORIGINAL units;
+    test_rmse the root-mean-square error of the mixture mean, original units.
+    """
+    X_test = jnp.asarray(X_test)
+    Y_test = jnp.asarray(Y_test)
+    n = X_test.shape[0]
+    bs = min(batch_size, n)
+
+    @jax.jit
+    def batch_eval(xb, yb, k):
+        ld = dgp.predict_log_density(params, config, xb, yb, k, num_samples)
+        mean, _ = dgp.predict_y(params, config, xb, k, num_samples)
+        return ld, mean
+
+    lds, sqerrs = [], []
+    for start in range(0, n, bs):
+        xb = X_test[start:start + bs]
+        yb = Y_test[start:start + bs]
+        pad = bs - xb.shape[0]
+        if pad:  # pad to the compiled batch size, mask after
+            xb = jnp.concatenate([xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            yb = jnp.concatenate([yb, jnp.zeros((pad,) + yb.shape[1:], yb.dtype)])
+        ld, mean = batch_eval(xb, yb, jax.random.fold_in(key, start))
+        take = bs - pad
+        lds.append(np.asarray(ld)[:take])
+        sqerrs.append(np.asarray(jnp.sum((mean - yb) ** 2, -1))[:take])
+
+    ld_norm = float(np.concatenate(lds).mean())
+    rmse_norm = float(np.sqrt(np.concatenate(sqerrs).mean()))
+    log_sigma = float(np.sum(np.log(y_std)))
+    sigma = float(np.prod(y_std))  # d_y = 1 for the UCI suite
+    return {
+        "test_loglik": ld_norm - log_sigma,
+        "test_rmse": rmse_norm * sigma,
+        "test_loglik_normalized": ld_norm,
+        "test_rmse_normalized": rmse_norm,
+    }

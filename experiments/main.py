@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""UCI regression experiment runner.
+
+TPU-native rebuild of ref:experiments/main.py (SURVEY.md §2.5, §3.1): the
+same flag surface — dataset, split, configuration string (G/L tokens), mode
+(VI/IW), M inducing points, K importance samples, minibatch size,
+iterations, Adam lr, natgrad gamma — wired to the JAX stack: data ->
+build_model (k-means Z init) -> jitted natgrad+Adam training with monitor ->
+mixture-NLL/RMSE evaluation -> sqlite results DB (bb schema).
+
+Example (paper flagship config):
+    python experiments/main.py --dataset kin8nm --configuration LG \
+        --mode IW --K 20 --M 128 --iterations 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgps_with_iwvi_tpu.data import get_regression_data
+from dgps_with_iwvi_tpu.evaluation import Database, evaluate
+from dgps_with_iwvi_tpu.models import BuildArgs, build_model, elbo
+from dgps_with_iwvi_tpu.training import TrainConfig, fit
+from dgps_with_iwvi_tpu.training.checkpoint import save_checkpoint
+from dgps_with_iwvi_tpu.training.monitor import Monitor
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="energy")
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--configuration", default="G",
+                   help="layer tokens: G=GP layer, L=latent-variable layer")
+    p.add_argument("--mode", default="VI", choices=["VI", "IW", "vi", "iw"])
+    p.add_argument("--M", type=int, default=128, help="inducing points")
+    p.add_argument("--K", type=int, default=5, help="importance samples")
+    p.add_argument("--num_samples", type=int, default=1, help="VI MC samples S")
+    p.add_argument("--num_predict_samples", type=int, default=100)
+    p.add_argument("--minibatch_size", type=int, default=512)
+    p.add_argument("--iterations", type=int, default=20000)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--gamma", type=float, default=1e-2)
+    p.add_argument("--natgrad", default="final", choices=["final", "all", "none"])
+    p.add_argument("--schedule", default="joint", choices=["joint", "alternating"])
+    p.add_argument("--d_w", type=int, default=1, help="latent dim per LV layer")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_call", type=int, default=100)
+    p.add_argument("--print_every", type=int, default=1000)
+    p.add_argument("--results_db", default="results.db")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--log_dir", default=None, help="TensorBoard dir")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ckpt_every", type=int, default=5000)
+    p.add_argument("--max_n", type=int, default=None,
+                   help="cap dataset size (smoke tests)")
+    return p.parse_args(argv)
+
+
+def run(args) -> dict:
+    key = jax.random.PRNGKey(args.seed)
+    data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
+    data = get_regression_data(args.dataset, args.split, max_n=args.max_n,
+                               **data_kw)
+    if data.synthetic:
+        print(f"[data] {args.dataset}: no pre-staged file found -> "
+              f"deterministic synthetic surrogate (N={data.N}, D={data.D})")
+
+    X = jnp.asarray(data.X_train)
+    Y = jnp.asarray(data.Y_train)
+    build = BuildArgs(
+        configuration=args.configuration, mode=args.mode.upper(),
+        num_inducing=args.M, num_iw_samples=args.K,
+        num_samples=args.num_samples, d_w=args.d_w)
+    kb, kt, ke = jax.random.split(key, 3)
+    config, params = build_model(kb, build, X, Y)
+    print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
+          f"K={args.K} N={data.N} D={data.D} on {jax.default_backend()}")
+
+    mon = Monitor(print_every=args.print_every, log_dir=args.log_dir)
+    last_ckpt = [0]
+
+    def callback(step, mean_loss, state):
+        mon(step, mean_loss, state)
+        if args.ckpt_dir and step - last_ckpt[0] >= args.ckpt_every:
+            save_checkpoint(args.ckpt_dir, step, state, kt)
+            last_ckpt[0] = step
+
+    tc = TrainConfig(
+        lr=args.lr, gamma=args.gamma, natgrad=args.natgrad,
+        schedule=args.schedule, minibatch_size=args.minibatch_size,
+        iterations=args.iterations, steps_per_call=args.steps_per_call)
+    t0 = time.time()
+    trained, state = fit(kt, config, params, X, Y, tc, callback=callback)
+    train_time = time.time() - t0
+
+    metrics = evaluate(
+        trained, config, data.X_test, data.Y_test, ke,
+        y_std=data.Y_std, num_samples=args.num_predict_samples)
+    final_elbo = float(elbo(trained, config, X[:args.minibatch_size],
+                            Y[:args.minibatch_size], ke))
+    steps_per_sec = args.iterations / train_time
+
+    row = {
+        "dataset": args.dataset, "split": args.split,
+        "configuration": args.configuration, "mode": args.mode.upper(),
+        "M": args.M, "K": args.K, "num_samples": args.num_samples,
+        "minibatch_size": args.minibatch_size, "iterations": args.iterations,
+        "lr": args.lr, "gamma": args.gamma,
+        **metrics,
+        "elbo": final_elbo, "steps_per_sec": steps_per_sec,
+        "synthetic_data": data.synthetic,
+        "backend": jax.default_backend(), "train_time_s": train_time,
+    }
+    Database(args.results_db).write_result(row)
+    print(f"[result] test_loglik={metrics['test_loglik']:.4f} "
+          f"test_rmse={metrics['test_rmse']:.4f} "
+          f"({steps_per_sec:.1f} steps/s, {train_time:.1f}s train)")
+    return row
+
+
+if __name__ == "__main__":
+    run(parse_args())
