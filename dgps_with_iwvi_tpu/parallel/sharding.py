@@ -1,0 +1,174 @@
+"""Sharded training step: dp-sharded minibatches, k-sharded IW samples.
+
+TPU-native distributed execution (SURVEY.md §5 'Distributed comm backend'
+row): shard_map over a ('dp', 'k') Mesh with explicit XLA collectives —
+gradient allreduce = lax.psum over BOTH axes (rides ICI), cross-chip
+logsumexp for the K importance-sample axis = lax.pmax + lax.psum over 'k'.
+Parameters and optimizer state stay replicated; each device computes the
+identical update from the psum'd gradients, so replication is preserved
+without broadcasting.
+
+Scaling bookkeeping (P = n_dp * n_k devices): each device's local loss is
+    -(N / B_global) * sum_{local batch} datafit_n / n_k  +  KL / P
+so that psum over the full mesh reproduces the single-device objective
+exactly — this makes 'dp-grad == single-device-grad' a testable identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import dgp
+from ..models.layers import LatentVarMode
+from ..ops import likelihoods
+from ..training import natgrad as ng
+from ..training.train import TrainConfig, TrainState, _merge_params, _split_params
+
+
+def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, key,
+                       n_k: int, P_total: int):
+    """Per-device negative-ELBO contribution; psum over the mesh == global loss.
+
+    Inside shard_map: xb/yb are the device's local minibatch (identical
+    across the 'k' axis); the K (or S) sample axis is split so each k-shard
+    draws K/n_k (S/n_k) samples with independent keys.
+    """
+    B_local = xb.shape[0]
+    n_dp = P_total // n_k
+    B_global = B_local * n_dp
+    scale = config.num_data / B_global
+
+    if config.objective == "iw":
+        K_local = config.num_iw_samples // n_k
+        fmean, fvar, log_w, _ = dgp.propagate(
+            params, config, xb, key, (K_local,),
+            lv_mode=LatentVarMode.POSTERIOR, Y=yb)
+        ve = likelihoods.variational_expectations(
+            params["likelihood"], fmean, fvar, yb)        # [K_local, B]
+        lw = ve + log_w
+        # cross-'k' logsumexp over the global K axis; the max shift is a
+        # numerical stabilizer only (logsumexp grads are shift-invariant),
+        # and pmax has no differentiation rule -> stop_gradient
+        m = lax.pmax(jnp.max(lax.stop_gradient(lw), axis=0), "k")  # [B]
+        s = lax.psum(jnp.sum(jnp.exp(lw - m), axis=0), "k")
+        iw = m + jnp.log(s) - jnp.log(float(config.num_iw_samples))
+        datafit = jnp.sum(iw)
+        local_kl_term = 0.0
+    else:
+        S_local = max(config.num_samples // n_k, 1)
+        S_global = S_local * n_k
+        fmean, fvar, _, local_kl = dgp.propagate(
+            params, config, xb, key, (S_local,),
+            lv_mode=LatentVarMode.POSTERIOR, Y=yb)
+        ve = likelihoods.variational_expectations(
+            params["likelihood"], fmean, fvar, yb)        # [S_local, B]
+        ve_mean = lax.psum(jnp.sum(ve, axis=0), "k") / S_global  # [B]
+        datafit = jnp.sum(ve_mean)
+        local_kl_term = jnp.sum(local_kl)
+
+    kl = dgp.gp_kls(params, config)
+    # datafit counted once per k-replica -> /n_k; KL once per device -> /P
+    return (-(scale * (datafit - local_kl_term)) / n_k + kl / P_total)
+
+
+def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
+    """Sharded (init_fn, step_fn, chunk_fn, params_fn).
+
+    step_fn(state, X, Y, key): X, Y are GLOBAL arrays sharded along 'dp'
+    (use shard_arrays below); state is replicated. One call = one psum'd
+    natgrad+Adam step, identical semantics to the single-device trainer.
+    """
+    n_dp = mesh.shape["dp"]
+    n_k = mesh.shape["k"]
+    P_total = n_dp * n_k
+    if config.objective == "iw":
+        assert config.num_iw_samples % n_k == 0, \
+            f"K={config.num_iw_samples} must divide over n_k={n_k}"
+    layer_ids = ng.natgrad_layer_ids(config, tc.natgrad)
+    adam = optax.adam(tc.lr)
+    B_local = max(tc.minibatch_size // n_dp, 1)
+
+    def init_fn(params) -> TrainState:
+        natvars, rest = _split_params(params, layer_ids)
+        return TrainState(rest, natvars, adam.init(rest),
+                          jnp.zeros((), jnp.int32))
+
+    def loss_fn(natvars, rest, xb, yb, key):
+        params = _merge_params(rest, natvars, layer_ids)
+        return _sharded_objective(params, config, xb, yb, key, n_k, P_total)
+
+    def local_grads(natvars, rest, Xl, Yl, key):
+        """Runs per device inside shard_map; returns psum'd loss + grads."""
+        i_dp = lax.axis_index("dp")
+        i_k = lax.axis_index("k")
+        kb, ke = jax.random.split(key)
+        # minibatch indices: shared across 'k' (same data), distinct per 'dp'
+        N_local = Xl.shape[0]
+        idx = jax.random.randint(jax.random.fold_in(kb, i_dp),
+                                 (B_local,), 0, N_local)
+        xb = jnp.take(Xl, idx, axis=0)
+        yb = jnp.take(Yl, idx, axis=0)
+        # sample keys: distinct per (dp, k)
+        kloc = jax.random.fold_in(jax.random.fold_in(ke, i_dp), i_k)
+        loss, (g_nat, g_rest) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(natvars, rest, xb, yb, kloc)
+        loss = lax.psum(loss, ("dp", "k"))
+        g_nat = lax.psum(g_nat, ("dp", "k"))
+        g_rest = lax.psum(g_rest, ("dp", "k"))
+        return loss, g_nat, g_rest
+
+    grads_sharded = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp", None), P("dp", None), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step_fn(state: TrainState, X, Y, key):
+        loss, g_nat, g_rest = grads_sharded(
+            state.natvars, state.rest, X, Y, key)
+        natvars = (ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+                   if layer_ids else state.natvars)
+        updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
+        rest = optax.apply_updates(state.rest, updates)
+        return TrainState(rest, natvars, opt_state, state.step + 1), loss
+
+    def chunk_fn(state: TrainState, X, Y, key):
+        def body(carry, i):
+            st, l = step_fn(carry, X, Y, jax.random.fold_in(key, i))
+            return st, l
+        return jax.lax.scan(body, state, jnp.arange(tc.steps_per_call))
+
+    def params_fn(state: TrainState):
+        if not layer_ids:
+            return state.rest
+        return ng.natvars_to_canonical(state.natvars, state.rest, layer_ids)
+
+    return init_fn, step_fn, chunk_fn, params_fn
+
+
+def shard_arrays(mesh: Mesh, X, Y):
+    """Place (X, Y) sharded along 'dp' (pads N to a multiple of n_dp by
+    repeating head rows — harmless under with-replacement minibatching)."""
+    n_dp = mesh.shape["dp"]
+    n = X.shape[0]
+    rem = (-n) % n_dp
+    if rem:
+        X = jnp.concatenate([X, X[:rem]], axis=0)
+        Y = jnp.concatenate([Y, Y[:rem]], axis=0)
+    sx = NamedSharding(mesh, P("dp", None))
+    return jax.device_put(X, sx), jax.device_put(Y, sx)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)

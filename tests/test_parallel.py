@@ -1,0 +1,155 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item 5):
+sharded loss/grad == single-device loss/grad, cross-'k' logsumexp parity,
+and a short sharded training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from dgps_with_iwvi_tpu.models import (
+    DGPConfig,
+    GPLayerConfig,
+    LVLayerConfig,
+    elbo,
+    init_dgp,
+)
+from dgps_with_iwvi_tpu.parallel import (
+    make_mesh,
+    make_parallel_trainer,
+    replicate,
+    shard_arrays,
+)
+from dgps_with_iwvi_tpu.training import TrainConfig
+from dgps_with_iwvi_tpu.training.train import _merge_params, _split_params, make_trainer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _data(n=128, d=3, dtype=jnp.float64):
+    kx, ky = jax.random.split(KEY)
+    X = jax.random.normal(kx, (n, d), dtype)
+    Y = jnp.sin(X[:, :1]) + 0.05 * jax.random.normal(ky, (n, 1), dtype)
+    return X, Y
+
+
+def _expected_global_batch(X, Y, n_dp, B_local, key):
+    """Reproduce the sharded minibatch selection on the host."""
+    N_local = X.shape[0] // n_dp
+    Xs = X.reshape(n_dp, N_local, -1)
+    Ys = Y.reshape(n_dp, N_local, -1)
+    kb, _ = jax.random.split(key)
+    xs, ys = [], []
+    for i in range(n_dp):
+        idx = jax.random.randint(jax.random.fold_in(kb, i), (B_local,), 0, N_local)
+        xs.append(Xs[i][idx])
+        ys.append(Ys[i][idx])
+    return jnp.concatenate(xs), jnp.concatenate(ys)
+
+
+class TestShardedParity:
+    def test_loss_and_grad_match_single_device_deterministic_model(self):
+        """'G' VI model: no sampling randomness -> the sharded step's loss &
+        grads must EQUAL the single-device loss & grads on the same global
+        batch (exercises psum scaling + KL bookkeeping exactly)."""
+        n_dp, n_k = 4, 2
+        mesh = make_mesh(n_dp, n_k)
+        X, Y = _data(n=128)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
+                                  mean_function="zero", final=True),),
+            num_data=X.shape[0], objective="vi")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        tc = TrainConfig(lr=1e-2, natgrad="final", minibatch_size=32,
+                         iterations=1, steps_per_call=1)
+
+        init_fn, step_fn, _, _ = make_parallel_trainer(cfg, tc, mesh)
+        state = init_fn(params)
+        state = replicate(mesh, state)
+        Xs, Ys = shard_arrays(mesh, X, Y)
+        skey = jax.random.PRNGKey(123)
+        new_state, loss = jax.jit(step_fn)(state, Xs, Ys, skey)
+
+        # host-side reference on the identical global batch
+        xb, yb = _expected_global_batch(X, Y, n_dp, 32 // n_dp, skey)
+        layer_ids = (0,)
+        natvars, rest = _split_params(params, layer_ids)
+
+        def ref_loss(nv, r):
+            p = _merge_params(r, nv, layer_ids)
+            return -elbo(p, cfg, xb, yb, KEY)  # key unused: deterministic
+
+        ref_val, (g_nat, g_rest) = jax.value_and_grad(
+            ref_loss, argnums=(0, 1))(natvars, rest)
+        np.testing.assert_allclose(float(loss), float(ref_val), rtol=1e-10)
+
+        # one single-device natgrad+Adam step from the same grads
+        from dgps_with_iwvi_tpu.training import natgrad as ng
+        import optax
+        nv_ref = ng.natgrad_update(natvars, g_nat, tc.gamma)
+        adam = optax.adam(tc.lr)
+        upd, _ = adam.update(g_rest, adam.init(rest), rest)
+        rest_ref = optax.apply_updates(rest, upd)
+        np.testing.assert_allclose(
+            np.asarray(new_state.natvars[0]["q_S"]),
+            np.asarray(nv_ref[0]["q_S"]), rtol=1e-8, atol=1e-10)
+        # psum reduction order differs from the host-side sum; Adam's
+        # sqrt-normalization amplifies that to ~1e-8 relative
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(new_state.rest)[0]),
+            np.asarray(jax.tree.leaves(rest_ref)[0]), rtol=1e-6, atol=1e-9)
+
+    def test_cross_k_logsumexp(self):
+        """pmax/psum logsumexp over a sharded K axis == jax.nn.logsumexp."""
+        mesh = make_mesh(1, 8)
+        lw = jax.random.normal(KEY, (8 * 5, 16), jnp.float64) * 3.0
+
+        def body(lw_local):  # [5, 16] per device
+            m = lax.pmax(jnp.max(lw_local, axis=0), "k")
+            s = lax.psum(jnp.sum(jnp.exp(lw_local - m), axis=0), "k")
+            return m + jnp.log(s)
+
+        out = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=P("k", None), out_specs=P(),
+            check_vma=False))(lw)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jax.nn.logsumexp(lw, axis=0)),
+            rtol=1e-12)
+
+    def test_sharded_iw_training_improves(self):
+        """LGG IW K=8 over a 4x2 mesh: loss decreases, params stay replicated."""
+        n_dp, n_k = 4, 2
+        mesh = make_mesh(n_dp, n_k)
+        X, Y = _data(n=256, d=4)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=4, d_y=1),
+                GPLayerConfig(d_in=5, d_out=4, num_inducing=8),
+                GPLayerConfig(d_in=4, d_out=1, num_inducing=8, final=True),
+            ),
+            num_data=256, objective="iw", num_iw_samples=8)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        tc = TrainConfig(lr=1e-2, gamma=0.05, natgrad="final",
+                         minibatch_size=64, iterations=60, steps_per_call=30)
+        init_fn, _, chunk_fn, params_fn = make_parallel_trainer(cfg, tc, mesh)
+        state = replicate(mesh, init_fn(params))
+        Xs, Ys = shard_arrays(mesh, X, Y)
+        chunk_jit = jax.jit(chunk_fn)
+        state, l1 = chunk_jit(state, Xs, Ys, jax.random.PRNGKey(1))
+        state, l2 = chunk_jit(state, Xs, Ys, jax.random.PRNGKey(2))
+        assert float(jnp.mean(l2)) < float(jnp.mean(l1)), (l1.mean(), l2.mean())
+        trained = params_fn(state)
+        # replicated state: all leaves finite, single logical value
+        for leaf in jax.tree.leaves(trained):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_k_must_divide(self):
+        import pytest
+
+        mesh = make_mesh(2, 4)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=2, d_out=1, num_inducing=4, final=True),),
+            num_data=10, objective="iw", num_iw_samples=6)
+        with pytest.raises(AssertionError):
+            make_parallel_trainer(cfg, TrainConfig(), mesh)
