@@ -36,6 +36,7 @@ class BuildArgs:
     encoder_init_logvar: float = -4.6
     noise_variance_init: float = 0.05
     jitter: float = 1e-6
+    use_pallas: bool = False
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -101,6 +102,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         num_samples=args.num_samples,
         num_iw_samples=args.num_iw_samples,
         jitter=args.jitter,
+        use_pallas=args.use_pallas,
     )
 
 

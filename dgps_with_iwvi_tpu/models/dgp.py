@@ -55,6 +55,7 @@ class DGPConfig:
     num_samples: int = 1        # S (VI MC samples; also prediction default)
     num_iw_samples: int = 1     # K (IW samples)
     jitter: float = linalg.DEFAULT_JITTER
+    use_pallas: bool = False    # fused TPU conditional kernel (RBF layers)
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")
@@ -135,7 +136,8 @@ def propagate(
             lv_idx += 1
         else:
             F, moments = gp_layer_propagate(
-                params["layers"][i], cfg, F, lkey, jitter=config.jitter)
+                params["layers"][i], cfg, F, lkey, jitter=config.jitter,
+                use_pallas=config.use_pallas)
             if cfg.final:
                 final_out = moments
     fmean, fvar = final_out

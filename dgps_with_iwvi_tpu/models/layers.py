@@ -110,6 +110,7 @@ def gp_layer_propagate(
     key: jax.Array | None,
     *,
     jitter: float = linalg.DEFAULT_JITTER,
+    use_pallas: bool = False,
 ):
     """One whitened-SVGP layer step.
 
@@ -121,7 +122,7 @@ def gp_layer_propagate(
     q_sqrt = jnp.tril(params["q_sqrt"])
     out = conditionals.conditional(
         F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
-        kernel_kind=cfg.kernel_kind, jitter=jitter)
+        kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:

@@ -47,10 +47,12 @@ def base_conditional_whitened(
 ) -> ConditionalOut:
     """Whitened marginal conditional; broadcasts over leading axes of Kuf."""
     A = solve_triangular(Lm, Kuf, lower=True)              # [..., M, N]
-    mean = jnp.swapaxes(A, -1, -2) @ q_mu                  # [..., N, D]
+    hp = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: GP moments cancel
+    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
     # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
-    LTA = jnp.swapaxes(q_sqrt, -1, -2) @ A[..., None, :, :]
+    LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
+                     precision=hp)
     fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)  # [..., N, D]
     return ConditionalOut(mean, var)
@@ -64,10 +66,12 @@ def base_conditional_whitened_fullcov(
     q_sqrt: jax.Array,   # [D, M, M]
 ) -> ConditionalOut:
     """Full-covariance variant (tests / small-N prediction only)."""
+    hp = jax.lax.Precision.HIGHEST
     A = solve_triangular(Lm, Kuf, lower=True)              # [M, N]
-    mean = A.T @ q_mu                                      # [N, D]
-    LTA = jnp.swapaxes(q_sqrt, -1, -2) @ A                 # [D, M, N]
-    cov = (Kff - A.T @ A)[None] + jnp.swapaxes(LTA, -1, -2) @ LTA  # [D, N, N]
+    mean = jnp.matmul(A.T, q_mu, precision=hp)             # [N, D]
+    LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A, precision=hp)
+    cov = (Kff - jnp.matmul(A.T, A, precision=hp))[None] \
+        + jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA, precision=hp)
     return ConditionalOut(mean, cov)
 
 
@@ -81,15 +85,39 @@ def conditional(
     kernel_kind: str = "rbf",
     jitter: float = DEFAULT_JITTER,
     Lm: jax.Array | None = None,
+    use_pallas: bool = False,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
     Pass a precomputed ``Lm`` to share the Kuu Cholesky across calls within
     one step (e.g. training + KL both need it).
+
+    use_pallas=True routes the gram+solve+moments pipeline through the fused
+    TPU kernel (ops/pallas/conditional.py): Kuf and A stay in VMEM and the
+    triangular solve becomes a Linv matmul on the MXU. RBF only; falls back
+    to the XLA path for other kernels. Interpreted (slow, exact) off-TPU.
     """
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
         Lm = cholesky_with_jitter(Kuu, jitter)
+    if use_pallas and kernel_kind == "rbf":
+        from .pallas.conditional import fused_conditional
+
+        ls = kernels.kernel_lengthscales(kernel_params)
+        var = kernels.kernel_variance(kernel_params)
+        lead = X.shape[:-2]
+        n, d_in = X.shape[-2], X.shape[-1]
+        d_out = q_mu.shape[1]
+        xs = (X / ls).reshape((-1, d_in))
+        zs = Z / ls
+        m = Z.shape[0]
+        Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
+        interpret = jax.default_backend() != "tpu"
+        mean, v = fused_conditional(xs, zs, var, Linv, q_mu, q_sqrt,
+                                    interpret)
+        mean = mean.reshape(lead + (n, d_out)).astype(X.dtype)
+        v = v.reshape(lead + (n, d_out)).astype(X.dtype)
+        return ConditionalOut(mean, v)
     # Z:[M,D] broadcasts against X:[..., N, D] -> Kuf:[..., M, N]
     Kuf = kernels.K(kernel_params, Z, X, kind=kernel_kind)
     Kff_diag = kernels.Kdiag(kernel_params, X, kind=kernel_kind)

@@ -61,8 +61,10 @@ def scaled_squared_distance(X: jax.Array, X2: jax.Array,
     X2s = X2 / lengthscales
     xx = jnp.sum(jnp.square(Xs), axis=-1)  # [..., N]
     yy = jnp.sum(jnp.square(X2s), axis=-1)  # [..., M]
+    # HIGHEST: the expansion cancels catastrophically in bf16 MXU passes
     cross = jnp.matmul(Xs, jnp.swapaxes(X2s, -1, -2),
-                       preferred_element_type=Xs.dtype)  # [..., N, M]
+                       preferred_element_type=Xs.dtype,
+                       precision=jax.lax.Precision.HIGHEST)  # [..., N, M]
     d2 = xx[..., :, None] - 2.0 * cross + yy[..., None, :]
     return jnp.maximum(d2, 0.0)
 
