@@ -56,15 +56,18 @@ def evaluate(
         ld, mean = batch_eval(xb, yb, jax.random.fold_in(key, start))
         take = bs - pad
         lds.append(np.asarray(ld)[:take])
-        sqerrs.append(np.asarray(jnp.sum((mean - yb) ** 2, -1))[:take])
+        err = np.asarray(mean - yb)[:take]  # [take, d_y], normalized units
+        sqerrs.append(err)
 
+    errs = np.concatenate(sqerrs)                       # [n, d_y]
     ld_norm = float(np.concatenate(lds).mean())
-    rmse_norm = float(np.sqrt(np.concatenate(sqerrs).mean()))
-    log_sigma = float(np.sum(np.log(y_std)))
-    sigma = float(np.prod(y_std))  # d_y = 1 for the UCI suite
+    rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
+    y_std = np.asarray(y_std).reshape(1, -1)
+    rmse_orig = float(np.sqrt(np.mean(np.sum((errs * y_std) ** 2, -1))))
+    log_sigma = float(np.sum(np.log(y_std)))            # per-dim sum
     return {
         "test_loglik": ld_norm - log_sigma,
-        "test_rmse": rmse_norm * sigma,
+        "test_rmse": rmse_orig,
         "test_loglik_normalized": ld_norm,
         "test_rmse_normalized": rmse_norm,
     }

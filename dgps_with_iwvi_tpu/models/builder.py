@@ -37,6 +37,8 @@ class BuildArgs:
     noise_variance_init: float = 0.05
     jitter: float = 1e-6
     use_pallas: bool = False
+    kernel_kind: str = "rbf"    # rbf | matern12 | matern32 | matern52
+    amortized: bool = True      # False: per-datapoint q(w) params (small N)
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -85,7 +87,9 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
             layer_cfgs.append(LVLayerConfig(
                 d_w=args.d_w, d_in=width, d_y=d_y,
                 encoder_hidden=tuple(args.encoder_hidden),
-                encoder_init_logvar=args.encoder_init_logvar))
+                encoder_init_logvar=args.encoder_init_logvar,
+                amortized=args.amortized,
+                num_data=0 if args.amortized else num_data))
             width += args.d_w
         else:
             gp_seen += 1
@@ -93,7 +97,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
             d_out = d_y if final else inner_dim
             layer_cfgs.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=args.num_inducing,
-                final=final))
+                kernel_kind=args.kernel_kind, final=final))
             width = d_out
     return DGPConfig(
         layers=tuple(layer_cfgs),

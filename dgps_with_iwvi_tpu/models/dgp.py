@@ -109,6 +109,7 @@ def propagate(
     lv_mode: str = LatentVarMode.POSTERIOR,
     Y: jax.Array | None = None,
     ws_given: Sequence[jax.Array] | None = None,
+    data_idx: jax.Array | None = None,
 ):
     """Thread samples through the layer stack (SURVEY.md §3.2).
 
@@ -130,7 +131,7 @@ def propagate(
             w_given = None if ws_given is None else ws_given[lv_idx]
             F, lw_i, kl_i = lv_layer_propagate(
                 params["layers"][i], cfg, F, lkey, mode=lv_mode, X0=X, Y=Y,
-                w_given=w_given)
+                w_given=w_given, data_idx=data_idx)
             log_w = log_w + lw_i
             local_kl = local_kl + kl_i
             lv_idx += 1
@@ -154,14 +155,18 @@ def gp_kls(params, config: DGPConfig) -> jax.Array:
 
 
 def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
-         key: jax.Array) -> jax.Array:
-    """The training objective (maximize): 'vi' or 'iw' per config."""
+         key: jax.Array, data_idx: jax.Array | None = None) -> jax.Array:
+    """The training objective (maximize): 'vi' or 'iw' per config.
+
+    data_idx: dataset row indices of the minibatch — required only when the
+    model contains non-amortized LV layers."""
     B = X.shape[0]
     scale = config.num_data / B
     if config.objective == "vi":
         S = config.num_samples
         fmean, fvar, _, local_kl = propagate(
-            params, config, X, key, (S,), lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+            params, config, X, key, (S,), lv_mode=LatentVarMode.POSTERIOR, Y=Y,
+            data_idx=data_idx)
         ve = likelihoods.variational_expectations(
             params["likelihood"], fmean, fvar, Y)          # [S, B]
         datafit = jnp.sum(jnp.mean(ve, axis=0) - local_kl)
@@ -169,7 +174,8 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
     # 'iw'
     K = config.num_iw_samples
     fmean, fvar, log_w, _ = propagate(
-        params, config, X, key, (K,), lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+        params, config, X, key, (K,), lv_mode=LatentVarMode.POSTERIOR, Y=Y,
+        data_idx=data_idx)
     ve = likelihoods.variational_expectations(
         params["likelihood"], fmean, fvar, Y)              # [K, B]
     iw = jax.nn.logsumexp(ve + log_w, axis=0) - jnp.log(float(K))  # [B]

@@ -54,6 +54,12 @@ class LVLayerConfig:
     d_y: int   # observation dim fed to the amortized encoder
     encoder_hidden: tuple = (20, 20)
     encoder_init_logvar: float = -4.6
+    # amortized=False: per-datapoint (mu_n, log sigma_n^2) variational
+    # parameters instead of a recognition network — the reference's
+    # small-N variant (SURVEY.md §2.1). Requires num_data and minibatch
+    # data indices at propagate time.
+    amortized: bool = True
+    num_data: int = 0
 
 
 LayerConfig = GPLayerConfig | LVLayerConfig
@@ -96,6 +102,13 @@ def gp_layer_init(
 
 
 def lv_layer_init(key: jax.Array, cfg: LVLayerConfig, dtype=jnp.float32):
+    if not cfg.amortized:
+        assert cfg.num_data > 0, "non-amortized LV layer needs num_data"
+        return {
+            "q_mu_w": jnp.zeros((cfg.num_data, cfg.d_w), dtype),
+            "q_logvar_w": jnp.full((cfg.num_data, cfg.d_w),
+                                   cfg.encoder_init_logvar, dtype),
+        }
     return {
         "encoder": encoders.encoder_init(
             key, cfg.d_in + cfg.d_y, cfg.d_w, cfg.encoder_hidden,
@@ -152,6 +165,7 @@ def lv_layer_propagate(
     X0: jax.Array | None = None,   # [B, d_x] original inputs (encoder input)
     Y: jax.Array | None = None,    # [B, d_y] targets (encoder input)
     w_given: jax.Array | None = None,
+    data_idx: jax.Array | None = None,  # [B] dataset rows (non-amortized)
 ):
     """Concatenate a latent w onto the features.
 
@@ -165,9 +179,15 @@ def lv_layer_propagate(
     B = F.shape[-2]
     dtype = F.dtype
     if mode == LatentVarMode.POSTERIOR:
-        assert X0 is not None and Y is not None, "posterior mode needs (x, y)"
-        s = jnp.concatenate([X0, Y], axis=-1)
-        mu, log_var = encoders.encode(params["encoder"], s)  # [B, d_w]
+        if cfg.amortized:
+            assert X0 is not None and Y is not None, "posterior mode needs (x, y)"
+            s = jnp.concatenate([X0, Y], axis=-1)
+            mu, log_var = encoders.encode(params["encoder"], s)  # [B, d_w]
+        else:
+            assert data_idx is not None, \
+                "non-amortized posterior mode needs data_idx"
+            mu = jnp.take(params["q_mu_w"], data_idx, axis=0)       # [B, d_w]
+            log_var = jnp.take(params["q_logvar_w"], data_idx, axis=0)
         eps = jax.random.normal(key, lead + (B, cfg.d_w), dtype)
         w = mu + jnp.exp(0.5 * log_var) * eps
         log_w = kl.std_gaussian_logpdf(w) - kl.diag_gaussian_logpdf(w, mu, log_var)

@@ -41,10 +41,13 @@ def cholesky_with_jitter(
 ) -> jax.Array:
     """Cholesky of K + jitter*I with automatic 10x jitter escalation.
 
-    All ``max_tries`` factorizations are evaluated in one fori-free graph for
-    small M (the framework's regime is M <= a few hundred inducing points, so
-    the extra factorizations cost little and keep control flow XLA-static);
-    the first usable factor is selected per batch element.
+    Two passes, both XLA-static: (1) a gradient-free SELECTION pass
+    factorizes at every escalation level and picks, per batch element, the
+    first usable level; (2) ONE differentiable Cholesky at the selected
+    jitter. Autodiff therefore never touches a failed factorization — a
+    garbage branch inside a jnp.where select would otherwise poison
+    gradients with 0 * Inf = NaN (observed on TPU with ill-conditioned
+    1-D RBF grams).
 
     Semantics mirror the reference's Kuu construction
     (gpflow:gpflow/features.py Kuu = K(Z,Z) + jitter*I at jitter 1e-6), with
@@ -52,19 +55,21 @@ def cholesky_with_jitter(
     LAPACK.
     """
     batch_shape = K.shape[:-2]
+    K_sel = jax.lax.stop_gradient(K)
 
-    def try_level(i):
-        lvl_jitter = jitter * (10.0 ** i)
-        return jnp.linalg.cholesky(add_jitter(K, jnp.asarray(lvl_jitter, K.dtype)))
+    # selection pass (no AD): smallest level whose factor is usable
+    level = jnp.full(batch_shape, max_tries - 1, jnp.int32)
+    found = jnp.zeros(batch_shape, bool)
+    for i in range(max_tries):
+        lvl_jitter = jnp.asarray(jitter * (10.0 ** i), K.dtype)
+        ok = _chol_ok(jnp.linalg.cholesky(add_jitter(K_sel, lvl_jitter)))
+        level = jnp.where(~found & ok, i, level)
+        found = found | ok
+    jit_sel = jitter * (10.0 ** level.astype(K.dtype))   # [batch]
 
-    L = try_level(0)
-    ok = _chol_ok(L)
-    for i in range(1, max_tries):
-        L_next = try_level(i)
-        take_next = ~ok
-        L = jnp.where(take_next.reshape(batch_shape + (1, 1)), L_next, L)
-        ok = ok | _chol_ok(L_next)
-    return L
+    # single differentiable factorization at the selected jitter
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    return jnp.linalg.cholesky(K + jit_sel[..., None, None] * eye)
 
 
 def solve_triangular(L: jax.Array, B: jax.Array, *, lower: bool = True,

@@ -32,7 +32,7 @@ from ..training import natgrad as ng
 from ..training.train import TrainConfig, TrainState, _merge_params, _split_params
 
 
-def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, key,
+def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
                        n_k: int, P_total: int):
     """Per-device negative-ELBO contribution; psum over the mesh == global loss.
 
@@ -49,7 +49,7 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, key,
         K_local = config.num_iw_samples // n_k
         fmean, fvar, log_w, _ = dgp.propagate(
             params, config, xb, key, (K_local,),
-            lv_mode=LatentVarMode.POSTERIOR, Y=yb)
+            lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx)
         ve = likelihoods.variational_expectations(
             params["likelihood"], fmean, fvar, yb)        # [K_local, B]
         lw = ve + log_w
@@ -66,7 +66,7 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, key,
         S_global = S_local * n_k
         fmean, fvar, _, local_kl = dgp.propagate(
             params, config, xb, key, (S_local,),
-            lv_mode=LatentVarMode.POSTERIOR, Y=yb)
+            lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx)
         ve = likelihoods.variational_expectations(
             params["likelihood"], fmean, fvar, yb)        # [S_local, B]
         ve_mean = lax.psum(jnp.sum(ve, axis=0), "k") / S_global  # [B]
@@ -100,9 +100,10 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
         return TrainState(rest, natvars, adam.init(rest),
                           jnp.zeros((), jnp.int32))
 
-    def loss_fn(natvars, rest, xb, yb, key):
+    def loss_fn(natvars, rest, xb, yb, idx, key):
         params = _merge_params(rest, natvars, layer_ids)
-        return _sharded_objective(params, config, xb, yb, key, n_k, P_total)
+        return _sharded_objective(params, config, xb, yb, idx, key, n_k,
+                                  P_total)
 
     def local_grads(natvars, rest, Xl, Yl, key):
         """Runs per device inside shard_map; returns psum'd loss + grads."""
@@ -115,10 +116,12 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
                                  (B_local,), 0, N_local)
         xb = jnp.take(Xl, idx, axis=0)
         yb = jnp.take(Yl, idx, axis=0)
+        # global dataset row ids (shards are contiguous chunks along axis 0)
+        gidx = i_dp * N_local + idx
         # sample keys: distinct per (dp, k)
         kloc = jax.random.fold_in(jax.random.fold_in(ke, i_dp), i_k)
         loss, (g_nat, g_rest) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(natvars, rest, xb, yb, kloc)
+            loss_fn, argnums=(0, 1))(natvars, rest, xb, yb, gidx, kloc)
         loss = lax.psum(loss, ("dp", "k"))
         g_nat = lax.psum(g_nat, ("dp", "k"))
         g_rest = lax.psum(g_rest, ("dp", "k"))

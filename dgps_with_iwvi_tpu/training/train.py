@@ -88,9 +88,9 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
     layer_ids = ng.natgrad_layer_ids(config, tc.natgrad)
     adam = optax.adam(tc.lr)
 
-    def loss_fn(natvars, rest, xb, yb, key):
+    def loss_fn(natvars, rest, xb, yb, idx, key):
         params = _merge_params(rest, natvars, layer_ids)
-        return -dgp.elbo(params, config, xb, yb, key)
+        return -dgp.elbo(params, config, xb, yb, key, data_idx=idx)
 
     def init_fn(params) -> TrainState:
         natvars, rest = _split_params(params, layer_ids)
@@ -100,32 +100,33 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
     def _minibatch(X, Y, key):
         N = X.shape[0]
         if tc.minibatch_size >= N:
-            return X, Y
+            return X, Y, jnp.arange(N)
         idx = jax.random.randint(key, (tc.minibatch_size,), 0, N)
-        return jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0)
+        return jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0), idx
 
     def step_fn(state: TrainState, X, Y, key):
         kb1, kb2, ke1, ke2 = jax.random.split(key, 4)
-        xb, yb = _minibatch(X, Y, kb1)
+        xb, yb, idx = _minibatch(X, Y, kb1)
         if layer_ids and tc.schedule == "alternating":
             # reference schedule: natgrad on batch 1, Adam on batch 2
             g_nat = jax.grad(loss_fn, argnums=0)(
-                state.natvars, state.rest, xb, yb, ke1)
+                state.natvars, state.rest, xb, yb, idx, ke1)
             natvars = ng.natgrad_update(state.natvars, g_nat, tc.gamma)
-            xb2, yb2 = _minibatch(X, Y, kb2)
+            xb2, yb2, idx2 = _minibatch(X, Y, kb2)
             loss, g_rest = jax.value_and_grad(loss_fn, argnums=1)(
-                natvars, state.rest, xb2, yb2, ke2)
+                natvars, state.rest, xb2, yb2, idx2, ke2)
             updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
             rest = optax.apply_updates(state.rest, updates)
         elif layer_ids:
             loss, (g_nat, g_rest) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1))(state.natvars, state.rest, xb, yb, ke1)
+                loss_fn, argnums=(0, 1))(state.natvars, state.rest, xb, yb,
+                                         idx, ke1)
             natvars = ng.natgrad_update(state.natvars, g_nat, tc.gamma)
             updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
             rest = optax.apply_updates(state.rest, updates)
         else:
             loss, g_rest = jax.value_and_grad(loss_fn, argnums=1)(
-                state.natvars, state.rest, xb, yb, ke1)
+                state.natvars, state.rest, xb, yb, idx, ke1)
             updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
             rest = optax.apply_updates(state.rest, updates)
             natvars = state.natvars

@@ -52,6 +52,12 @@ def parse_args(argv=None):
     p.add_argument("--natgrad", default="final", choices=["final", "all", "none"])
     p.add_argument("--schedule", default="joint", choices=["joint", "alternating"])
     p.add_argument("--d_w", type=int, default=1, help="latent dim per LV layer")
+    p.add_argument("--kernel", default="rbf",
+                   choices=["rbf", "matern12", "matern32", "matern52"])
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas conditional kernels")
+    p.add_argument("--non_amortized", action="store_true",
+                   help="per-datapoint q(w) instead of the encoder (small N)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=100)
     p.add_argument("--print_every", type=int, default=1000)
@@ -79,7 +85,9 @@ def run(args) -> dict:
     build = BuildArgs(
         configuration=args.configuration, mode=args.mode.upper(),
         num_inducing=args.M, num_iw_samples=args.K,
-        num_samples=args.num_samples, d_w=args.d_w)
+        num_samples=args.num_samples, d_w=args.d_w,
+        kernel_kind=args.kernel, use_pallas=args.pallas,
+        amortized=not args.non_amortized)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "

@@ -1,0 +1,111 @@
+"""Checkpoint/deterministic-resume, harness end-to-end, monitor, and the
+f32-vs-f64 tolerance check (SURVEY.md §4 items 4-5, §5 aux subsystems)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgps_with_iwvi_tpu.models import BuildArgs, DGPConfig, GPLayerConfig, build_model, elbo, init_dgp
+from dgps_with_iwvi_tpu.training import TrainConfig, make_trainer
+from dgps_with_iwvi_tpu.training.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from dgps_with_iwvi_tpu.training.monitor import Monitor
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _small_problem(dtype=jnp.float32):
+    kx, ky = jax.random.split(KEY)
+    X = jax.random.normal(kx, (64, 3), dtype)
+    Y = (jnp.sin(X[:, :1]) + 0.05 * jax.random.normal(ky, (64, 1))).astype(dtype)
+    args = BuildArgs(configuration="LG", mode="IW", num_inducing=8,
+                     num_iw_samples=3)
+    cfg, params = build_model(KEY, args, X, Y)
+    return cfg, params, X, Y
+
+
+class TestCheckpoint:
+    def test_save_restore_resume_bitexact(self, tmp_path):
+        """Restore mid-run and continue: identical trajectory to an
+        uninterrupted run (deterministic resume, SURVEY.md §5)."""
+        cfg, params, X, Y = _small_problem()
+        tc = TrainConfig(lr=1e-2, natgrad="final", minibatch_size=32,
+                         iterations=40, steps_per_call=10)
+        init_fn, _, chunk_fn, params_fn = make_trainer(cfg, tc)
+        chunk = jax.jit(chunk_fn)
+
+        # uninterrupted: 2 chunks
+        st = init_fn(params)
+        st, _ = chunk(st, X, Y, jax.random.fold_in(KEY, 0))
+        st_mid = st
+        st, _ = chunk(st, X, Y, jax.random.fold_in(KEY, 1))
+        ref_leaves = jax.tree.leaves(params_fn(st))
+
+        # save at midpoint, restore, continue
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, int(st_mid.step), st_mid, KEY)
+        assert latest_step(ckpt) == 10
+        like = {"state": init_fn(params), "key": KEY}
+        restored = restore_checkpoint(ckpt, 10, like)
+        st2 = restored["state"]
+        assert int(st2.step) == 10
+        st2, _ = chunk(st2, X, Y, jax.random.fold_in(KEY, 1))
+        got_leaves = jax.tree.leaves(params_fn(st2))
+        for a, b in zip(got_leaves, ref_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestHarnessE2E:
+    def test_cli_run_improves_and_writes_db(self, tmp_path):
+        """experiments/main.py run() end-to-end on a tiny config: finishes,
+        writes a result row, metrics finite (SURVEY.md §4 item 4)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+
+        db = str(tmp_path / "r.db")
+        args = parse_args([
+            "--dataset", "yacht", "--configuration", "LG", "--mode", "IW",
+            "--K", "3", "--M", "8", "--iterations", "100",
+            "--minibatch_size", "64", "--steps_per_call", "50",
+            "--num_predict_samples", "20", "--print_every", "0",
+            "--results_db", db, "--seed", "0"])
+        row = run(args)
+        assert np.isfinite(row["test_loglik"]) and np.isfinite(row["test_rmse"])
+        from dgps_with_iwvi_tpu.evaluation import Database
+
+        rows = Database(db).read("yacht")
+        assert len(rows) == 1 and rows[0]["K"] == 3
+
+    def test_monitor_tracks_rate_and_history(self):
+        mon = Monitor(print_every=0)
+        for step in (10, 20, 30):
+            mon(step, -float(step), None)
+        assert len(mon.history) == 3
+        assert mon.history[-1]["elbo"] == 30.0
+        assert np.isfinite(mon.mean_steps_per_sec)
+
+
+class TestDtypePolicy:
+    def test_f32_matches_f64_within_tolerance(self):
+        """The f32 TPU-default pipeline tracks the f64 objective to ~1e-3
+        relative — the SURVEY §4 item-5 tolerance check."""
+        kx, ky = jax.random.split(KEY)
+        X64 = jax.random.normal(kx, (32, 3), jnp.float64)
+        Y64 = jnp.sin(X64[:, :1]) + 0.05 * jax.random.normal(ky, (32, 1), jnp.float64)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
+                                  mean_function="zero", final=True),),
+            num_data=32, objective="vi")
+        p64 = init_dgp(KEY, cfg, dtype=jnp.float64)
+        p32 = jax.tree.map(lambda a: a.astype(jnp.float32), p64)
+        v64 = float(elbo(p64, cfg, X64, Y64, KEY))
+        v32 = float(elbo(p32, cfg, X64.astype(jnp.float32),
+                         Y64.astype(jnp.float32), KEY))
+        np.testing.assert_allclose(v32, v64, rtol=2e-3)
