@@ -67,10 +67,19 @@ def main(argv=None):
                          f"  step {s}: elbo {-l:.1f}"))
 
     xg = jnp.linspace(-2.5, 2.5, 200)[:, None].astype(jnp.float32)
-    # (1) predictive draws, w ~ prior
-    fmean, fvar = predict_f(trained, config, xg, jax.random.PRNGKey(1), 60)
+    # (1) predictive draws: one w ~ N(0,1) per DRAW (shared across x) so each
+    # draw is a smooth function, like the paper's figure
     s2 = float(noise_variance(trained["likelihood"]))
-    draws = np.asarray(fmean)[:, :, 0]
+    ws = jax.random.normal(jax.random.PRNGKey(1), (60,))
+
+    @jax.jit
+    def draw(w):
+        wfix = jnp.full((200, 1), w, jnp.float32)
+        fm, _ = predict_f(trained, config, xg, jax.random.PRNGKey(2), 1,
+                          lv_mode=LatentVarMode.GIVEN, ws_given=[wfix])
+        return fm[0, :, 0]
+
+    draws = np.asarray(jax.vmap(draw)(ws))
     # (2) latent traversal: LatentVarMode.GIVEN over a w grid
     wgrid = np.linspace(-2.0, 2.0, 7)
     traversal = []

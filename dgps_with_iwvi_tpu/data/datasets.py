@@ -97,6 +97,15 @@ def _load_raw(name: str, data_dir: str) -> tuple[np.ndarray, np.ndarray, bool]:
         if Y.ndim == 1:
             Y = Y[:, None]
         return X, Y, False
+    # raw delimited text (last column = target), parsed by the native C++
+    # loader (native/src/dgp_data.cpp) — the fast path for year-scale files
+    for ext in (".csv", ".txt", ".data"):
+        tpath = os.path.join(data_dir, f"{name}{ext}")
+        if os.path.exists(tpath):
+            from . import native_loader
+
+            table = native_loader.parse_table(tpath)
+            return table[:, :-1], table[:, -1:], False
     if name in UCI_REGISTRY:
         n, d = UCI_REGISTRY[name]
         X, Y = _synthetic_regression(name, n, d)

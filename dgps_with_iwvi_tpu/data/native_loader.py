@@ -1,0 +1,139 @@
+"""ctypes bindings for the native data-layer runtime (native/libdgpdata.so).
+
+The reference's host-side data path is numpy + urllib inside
+bayesian_benchmarks feeding the TF1 runtime; this binds the TPU rebuild's
+C++ equivalent (native/src/dgp_data.cpp): fast delimited-text parsing for
+year-scale files, fused standardization, deterministic splits, minibatch
+index streams and k-means inducing init. Falls back to pure numpy when the
+shared library isn't built — build with `make -C native`.
+
+pybind11 is not in this image, so the ABI is plain C consumed via ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdgpdata.so")
+
+_i64 = ctypes.c_int64
+_u64 = ctypes.c_uint64
+_pd = ctypes.POINTER(ctypes.c_double)
+_pi = ctypes.POINTER(_i64)
+
+
+@lru_cache(maxsize=1)
+def load_library(build: bool = True):
+    """dlopen the native library, building it on first use. None if
+    unavailable (callers fall back to numpy)."""
+    if not os.path.exists(_LIB_PATH) and build:
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.dgp_parse_table.restype = ctypes.c_int
+    lib.dgp_parse_table.argtypes = [ctypes.c_char_p, ctypes.POINTER(_pd),
+                                    _pi, _pi]
+    lib.dgp_free.argtypes = [ctypes.c_void_p]
+    lib.dgp_standardize.argtypes = [_pd, _i64, _i64, _i64, _pd, _pd,
+                                    ctypes.c_double]
+    lib.dgp_permutation.argtypes = [_i64, _u64, _pi]
+    lib.dgp_minibatch_stream.argtypes = [_i64, _i64, _i64, _u64, _u64, _pi]
+    lib.dgp_kmeans.argtypes = [_pd, _i64, _i64, _i64, _i64, _u64, _pd]
+    return lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def parse_table(path: str) -> np.ndarray:
+    """Parse a delimited numeric text file -> [n, d] float64 array."""
+    lib = load_library()
+    if lib is None:
+        return np.loadtxt(path, delimiter=None, comments="#", ndmin=2)
+    out = _pd()
+    rows, cols = _i64(), _i64()
+    rc = lib.dgp_parse_table(path.encode(), ctypes.byref(out),
+                             ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        raise ValueError(f"dgp_parse_table({path!r}) failed with code {rc}")
+    n, d = rows.value, cols.value
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n, d)).copy()
+    finally:
+        lib.dgp_free(out)
+    return arr
+
+
+def standardize(X: np.ndarray, n_train: int, eps: float = 1e-10):
+    """In-place-equivalent standardization by the first n_train rows' stats.
+
+    Returns (X_standardized, mean, std) — std floored to 1 where <= eps,
+    matching datasets.get_regression_data conventions.
+    """
+    X = np.ascontiguousarray(X, np.float64).copy()
+    n, d = X.shape
+    lib = load_library()
+    if lib is None:
+        mean = X[:n_train].mean(0)
+        std = X[:n_train].std(0)
+        std = np.where(std <= eps, 1.0, std)
+        return (X - mean) / std, mean, std
+    mean = np.empty(d)
+    std = np.empty(d)
+    lib.dgp_standardize(X.ctypes.data_as(_pd), n, d, n_train,
+                        mean.ctypes.data_as(_pd), std.ctypes.data_as(_pd),
+                        eps)
+    return X, mean, std
+
+
+def permutation(n: int, seed: int) -> np.ndarray:
+    lib = load_library()
+    if lib is None:
+        return np.random.RandomState(seed).permutation(n).astype(np.int64)
+    perm = np.empty(n, np.int64)
+    lib.dgp_permutation(n, seed, perm.ctypes.data_as(_pi))
+    return perm
+
+
+def minibatch_stream(n: int, batch_size: int, n_batches: int, seed: int,
+                     step0: int = 0) -> np.ndarray:
+    """[n_batches, batch_size] with-replacement uniform indices
+    (gpflow-Minibatch semantics), deterministic per (seed, step0)."""
+    lib = load_library()
+    if lib is None:
+        rs = np.random.RandomState(seed + step0)
+        return rs.randint(0, n, (n_batches, batch_size)).astype(np.int64)
+    out = np.empty((n_batches, batch_size), np.int64)
+    lib.dgp_minibatch_stream(n, batch_size, n_batches, seed, step0,
+                             out.ctypes.data_as(_pi))
+    return out
+
+
+def kmeans(X: np.ndarray, k: int, iters: int = 20, seed: int = 0) -> np.ndarray:
+    """kmeans++ / Lloyd inducing-point init on the host: [k, d]."""
+    X = np.ascontiguousarray(X, np.float64)
+    n, d = X.shape
+    lib = load_library()
+    if lib is None:
+        from scipy.cluster.vq import kmeans2
+
+        centers, _ = kmeans2(X, k, iter=iters, minit="++", seed=seed)
+        return centers
+    centers = np.empty((k, d))
+    lib.dgp_kmeans(X.ctypes.data_as(_pd), n, d, k, iters, seed,
+                   centers.ctypes.data_as(_pd))
+    return centers
