@@ -157,14 +157,22 @@ def fit(
     Y: jax.Array,
     tc: TrainConfig,
     callback=None,
+    state: TrainState | None = None,
 ):
     """Convenience driver: jit-compiles the chunk fn and loops to
-    tc.iterations. callback(step, mean_loss, state) every chunk."""
+    tc.iterations. callback(step, mean_loss, state) every chunk.
+
+    Pass a restored ``state`` (e.g. from checkpoint.restore_checkpoint) to
+    resume: chunks continue from state.step with the same key schedule, so
+    an interrupted run and a resumed one produce identical trajectories.
+    """
     init_fn, _, chunk_fn, params_fn = make_trainer(config, tc)
-    state = init_fn(params)
+    if state is None:
+        state = init_fn(params)
     chunk_jit = jax.jit(chunk_fn)
     n_chunks = -(-tc.iterations // tc.steps_per_call)
-    for c in range(n_chunks):
+    start_chunk = int(state.step) // tc.steps_per_call
+    for c in range(start_chunk, n_chunks):
         state, losses = chunk_jit(state, X, Y, jax.random.fold_in(key, c))
         if callback is not None:
             callback(int(state.step), float(jnp.mean(losses)), state)

@@ -66,6 +66,8 @@ def parse_args(argv=None):
     p.add_argument("--log_dir", default=None, help="TensorBoard dir")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--ckpt_every", type=int, default=5000)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt_dir")
     p.add_argument("--max_n", type=int, default=None,
                    help="cap dataset size (smoke tests)")
     return p.parse_args(argv)
@@ -106,8 +108,21 @@ def run(args) -> dict:
         lr=args.lr, gamma=args.gamma, natgrad=args.natgrad,
         schedule=args.schedule, minibatch_size=args.minibatch_size,
         iterations=args.iterations, steps_per_call=args.steps_per_call)
+    state0 = None
+    if args.resume and args.ckpt_dir:
+        from dgps_with_iwvi_tpu.training import make_trainer
+        from dgps_with_iwvi_tpu.training.checkpoint import (
+            latest_step, restore_checkpoint)
+
+        step = latest_step(args.ckpt_dir)
+        if step is not None:
+            like = {"state": make_trainer(config, tc)[0](params), "key": kt}
+            state0 = restore_checkpoint(args.ckpt_dir, step, like)["state"]
+            last_ckpt[0] = step
+            print(f"[resume] restored step {step} from {args.ckpt_dir}")
     t0 = time.time()
-    trained, state = fit(kt, config, params, X, Y, tc, callback=callback)
+    trained, state = fit(kt, config, params, X, Y, tc, callback=callback,
+                         state=state0)
     train_time = time.time() - t0
 
     metrics = evaluate(
