@@ -33,6 +33,12 @@ from . import kernels
 from .linalg import cholesky_with_jitter, solve_triangular, DEFAULT_JITTER
 
 
+# Wide-solve strategy switch (see base_conditional_whitened): True turns the
+# wide triangular solve into Linv matmuls. Module-level so benchmarks can
+# A/B it; read at trace time.
+INVERSE_SOLVE = True
+
+
 class ConditionalOut(NamedTuple):
     mean: jax.Array  # [..., N, D]
     var: jax.Array   # [..., N, D] (marginal) or [..., D, N, N] (full_cov)
@@ -46,8 +52,20 @@ def base_conditional_whitened(
     q_sqrt: jax.Array,   # [D, M, M] lower-triangular
 ) -> ConditionalOut:
     """Whitened marginal conditional; broadcasts over leading axes of Kuf."""
-    A = solve_triangular(Lm, Kuf, lower=True)              # [..., M, N]
     hp = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: GP moments cancel
+    # Wide solves (many K*S*B columns against one small well-conditioned
+    # jittered factor): invert Lm once ([M, M] solve) and turn the wide
+    # sequential triangular solve — and its whole backward pass — into pure
+    # MXU matmuls. Identical math; measurably faster on TPU.
+    n_cols = 1
+    for s in (*Kuf.shape[:-2], Kuf.shape[-1]):
+        n_cols *= s
+    m = Lm.shape[-1]
+    if INVERSE_SOLVE and Lm.ndim == 2 and n_cols >= 4 * m:
+        Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
+        A = jnp.matmul(Linv, Kuf, precision=hp)            # [..., M, N]
+    else:
+        A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
     # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
