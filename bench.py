@@ -44,8 +44,11 @@ def measure_tpu_steps_per_sec(chunks: int = 5, steps_per_call: int = 100):
     init_fn, _, chunk_fn, _ = make_trainer(config, tc)
     state = init_fn(params)
     chunk_jit = jax.jit(chunk_fn)
-    state, losses = chunk_jit(state, X, Y, jax.random.fold_in(key, 0))
-    jax.block_until_ready(losses)  # compile + warm up
+    # compile + two warm rounds: the first executed program in a process
+    # pays tunnel/allocator warmup that would understate steady-state rate
+    for w in range(2):
+        state, losses = chunk_jit(state, X, Y, jax.random.fold_in(key, 1000 + w))
+        jax.block_until_ready(losses)
     t0 = time.time()
     for c in range(1, chunks + 1):
         state, losses = chunk_jit(state, X, Y, jax.random.fold_in(key, c))

@@ -133,20 +133,32 @@ def gp_layer_propagate(
     reference objective (SURVEY.md §3.2).
     """
     q_sqrt = jnp.tril(params["q_sqrt"])
-    out = conditionals.conditional(
-        F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
-        kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas)
+    fused_sample = use_pallas and not cfg.final
+    if fused_sample:
+        # gram -> conditional -> reparameterized sample in one Pallas kernel
+        raw_sample, out = conditionals.sample_conditional_fused(
+            key, F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
+            kernel_kind=cfg.kernel_kind, jitter=jitter)
+    else:
+        out = conditionals.conditional(
+            F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
+            kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:
             W = jax.lax.stop_gradient(W)
-        mean = out.mean + mean_functions.apply_mean_function(F, W)
+        mf = mean_functions.apply_mean_function(F, W)
+        mean = out.mean + mf
     else:
+        mf = 0.0
         mean = out.mean
     if cfg.final:
         return None, (mean, out.var)
-    eps = jax.random.normal(key, mean.shape, mean.dtype)
-    sample = mean + jnp.sqrt(jnp.maximum(out.var, 0.0)) * eps
+    if fused_sample:
+        sample = raw_sample + mf
+    else:
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+        sample = mean + jnp.sqrt(jnp.maximum(out.var, 0.0)) * eps
     return sample, (mean, out.var)
 
 

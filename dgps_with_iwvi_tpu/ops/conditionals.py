@@ -142,6 +142,50 @@ def conditional(
     return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt)
 
 
+def sample_conditional_fused(
+    key: jax.Array,
+    X: jax.Array,          # [..., N, D_in]
+    Z: jax.Array,
+    kernel_params,
+    q_mu: jax.Array,
+    q_sqrt: jax.Array,
+    *,
+    kernel_kind: str = "rbf",
+    jitter: float = DEFAULT_JITTER,
+    Lm: jax.Array | None = None,
+) -> tuple[jax.Array, ConditionalOut]:
+    """Conditional + reparameterized sample as ONE fused Pallas kernel
+    (gram -> Linv matmul -> moments -> on-core PRNG sample; the complete
+    BASELINE.json pipeline stage). TPU + RBF only; anything else falls back
+    to :func:`sample_conditional` (same moments, different noise stream).
+    """
+    if jax.default_backend() != "tpu" or kernel_kind != "rbf":
+        return sample_conditional(key, X, Z, kernel_params, q_mu, q_sqrt,
+                                  kernel_kind=kernel_kind, jitter=jitter,
+                                  Lm=Lm)
+    from .pallas.conditional import fused_conditional_sample
+
+    if Lm is None:
+        Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
+        Lm = cholesky_with_jitter(Kuu, jitter)
+    ls = kernels.kernel_lengthscales(kernel_params)
+    var = kernels.kernel_variance(kernel_params)
+    lead = X.shape[:-2]
+    n, d_in = X.shape[-2], X.shape[-1]
+    d_out = q_mu.shape[1]
+    xs = (X / ls).reshape((-1, d_in))
+    zs = Z / ls
+    m = Z.shape[0]
+    Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
+    seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+    samp, mean, v = fused_conditional_sample(xs, zs, var, Linv, q_mu,
+                                             q_sqrt, seed, False)
+    shape = lead + (n, d_out)
+    return (samp.reshape(shape).astype(X.dtype),
+            ConditionalOut(mean.reshape(shape).astype(X.dtype),
+                           v.reshape(shape).astype(X.dtype)))
+
+
 def sample_conditional(
     key: jax.Array,
     X: jax.Array,

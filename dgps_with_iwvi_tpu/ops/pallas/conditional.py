@@ -79,6 +79,33 @@ def _fused_kernel(var_ref, xs_ref, zs_ref, linv_ref, qmu_ref, lq_ref,
     varo_ref[...] = varp + jnp.concatenate(cols, axis=1)
 
 
+def _sample_kernel(var_ref, seed_ref, xs_ref, zs_ref, linv_ref, qmu_ref,
+                   lq_ref, mean_ref, varo_ref, samp_ref, kxz_ref, a_ref,
+                   *, n_out: int, d_in: int):
+    """Conditional + reparameterized sample in one VMEM pass.
+
+    eps comes from the on-core PRNG (pltpu.prng_random_bits -> Box-Muller),
+    seeded per (user seed, grid tile) so tiles draw independent noise —
+    this is the "reparameterized layer-wise sampling" stage of the fused
+    pipeline. The noise stream differs from jax.random.normal by design
+    (documented); moments match.
+    """
+    _fused_kernel(var_ref, xs_ref, zs_ref, linv_ref, qmu_ref, lq_ref,
+                  mean_ref, varo_ref, kxz_ref, a_ref, n_out=n_out, d_in=d_in)
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    shape = mean_ref.shape
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # uniforms in (0, 1]: top 24 bits; uint32->f32 is unsupported in Mosaic,
+    # so hop through int32 (values < 2^24 are exactly representable)
+    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * (1.0 / 16777216.0) + 1e-12
+    u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    samp_ref[...] = mean_ref[...] + jnp.sqrt(
+        jnp.maximum(varo_ref[...], 0.0)) * eps
+
+
 def _fused_forward(xs, zs, var, linv, q_mu, lq, *, tile_n: int = 512,
                    interpret: bool = False):
     """Pads + launches the kernel. Returns (mean, var, kxz, a) residuals."""
@@ -122,6 +149,87 @@ def _fused_forward(xs, zs, var, linv, q_mu, lq, *, tile_n: int = 512,
     )(var_arr, xs_p, zs_p, linv.astype(f32), q_mu.astype(f32),
       jnp.tril(lq).astype(f32))
     return mean[:n], varo[:n], kxz[:n], a[:n]
+
+
+def _fused_sample_forward(xs, zs, var, linv, q_mu, lq, seed, *,
+                          tile_n: int = 512, interpret: bool = False):
+    n, d_in = xs.shape
+    m = zs.shape[0]
+    d_out = q_mu.shape[1]
+    dp = _round_up(max(d_in, 1), LANE)
+    n_pad = _round_up(max(n, 1), tile_n)
+    f32 = jnp.float32
+
+    xs_p = jnp.zeros((n_pad, dp), f32).at[:n, :d_in].set(xs.astype(f32))
+    zs_p = jnp.zeros((m, dp), f32).at[:, :d_in].set(zs.astype(f32))
+    var_arr = jnp.reshape(var.astype(f32), (1, 1))
+    seed_arr = jnp.reshape(seed.astype(jnp.int32), (1, 1))
+
+    grid = (n_pad // tile_n,)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_pad, d_out), f32),   # mean
+        jax.ShapeDtypeStruct((n_pad, d_out), f32),   # var
+        jax.ShapeDtypeStruct((n_pad, d_out), f32),   # sample
+        jax.ShapeDtypeStruct((n_pad, m), f32),       # kxz residual
+        jax.ShapeDtypeStruct((n_pad, m), f32),       # a residual
+    )
+    tile_spec = lambda w: pl.BlockSpec((tile_n, w), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    mean, varo, samp, kxz, a = pl.pallas_call(
+        functools.partial(_sample_kernel, n_out=d_out, d_in=d_in),
+        grid=grid,
+        in_specs=[smem, smem, tile_spec(dp), full((m, dp)), full((m, m)),
+                  full((m, d_out)), full((d_out, m, m))],
+        out_specs=(tile_spec(d_out), tile_spec(d_out), tile_spec(d_out),
+                   tile_spec(m), tile_spec(m)),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(var_arr, seed_arr, xs_p, zs_p, linv.astype(f32), q_mu.astype(f32),
+      jnp.tril(lq).astype(f32))
+    return mean[:n], varo[:n], samp[:n], kxz[:n], a[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_conditional_sample(xs, zs, var, linv, q_mu, lq, seed,
+                             interpret=False):
+    """Fused conditional + reparameterized sample: the full BASELINE.json
+    pipeline stage (gram -> whitened conditional -> sample) in one kernel.
+
+    Returns (sample, mean, var), each [N, D]. `seed` is an int32 scalar;
+    the TPU on-core PRNG stream is deterministic per (seed, tile) but
+    distinct from jax.random.normal's threefry stream.
+    """
+    mean, varo, samp, _, _ = _fused_sample_forward(xs, zs, var, linv, q_mu,
+                                                   lq, seed,
+                                                   interpret=interpret)
+    return samp, mean, varo
+
+
+def _sample_fwd(xs, zs, var, linv, q_mu, lq, seed, interpret):
+    mean, varo, samp, kxz, a = _fused_sample_forward(
+        xs, zs, var, linv, q_mu, lq, seed, interpret=interpret)
+    return (samp, mean, varo), (xs, zs, var, linv, q_mu, lq, kxz, a,
+                                mean, varo, samp)
+
+
+def _sample_bwd(interpret, res, cotangents):
+    xs, zs, var, linv, q_mu, lq, kxz, a, mean, varo, samp = res
+    g_samp, g_mean, g_var = cotangents
+    # sample = mean + sqrt(max(var, 0)) * eps with eps fixed by the PRNG:
+    # recover eps from the saved primals instead of replaying the stream.
+    sd = jnp.sqrt(jnp.maximum(varo, 0.0))
+    eps = jnp.where(sd > 0, (samp - mean) / jnp.maximum(sd, 1e-30), 0.0)
+    g_mean = g_mean + g_samp
+    g_var = g_var + jnp.where(sd > 0, g_samp * eps / (2.0 * jnp.maximum(sd, 1e-30)), 0.0)
+    grads = _bwd(interpret, (xs, zs, var, linv, q_mu, lq, kxz, a),
+                 (g_mean, g_var))
+    return grads + (None,)  # no gradient for seed
+
+
+fused_conditional_sample.defvjp(_sample_fwd, _sample_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))

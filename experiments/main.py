@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_every", type=int, default=5000)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt_dir")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the training loop "
+                        "(view with xprof/tensorboard)")
     p.add_argument("--max_n", type=int, default=None,
                    help="cap dataset size (smoke tests)")
     return p.parse_args(argv)
@@ -121,8 +124,13 @@ def run(args) -> dict:
             last_ckpt[0] = step
             print(f"[resume] restored step {step} from {args.ckpt_dir}")
     t0 = time.time()
-    trained, state = fit(kt, config, params, X, Y, tc, callback=callback,
-                         state=state0)
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            trained, state = fit(kt, config, params, X, Y, tc,
+                                 callback=callback, state=state0)
+    else:
+        trained, state = fit(kt, config, params, X, Y, tc, callback=callback,
+                             state=state0)
     train_time = time.time() - t0
 
     metrics = evaluate(

@@ -105,3 +105,28 @@ class TestFusedConditionalParity:
         cfg_p = dataclasses.replace(cfg, use_pallas=True)
         v_pal = float(elbo(params, cfg_p, X, Y, KEY))
         np.testing.assert_allclose(v_pal, v_ref, rtol=5e-4)
+
+
+class TestFusedSample:
+    def test_off_tpu_fallback_matches_sample_conditional(self):
+        """sample_conditional_fused falls back to the XLA path off-TPU with
+        identical (key-deterministic) samples; the on-TPU kernel itself is
+        exercised by the verify drive / bench (PRNG stream differs there
+        by design)."""
+        X, Z, params, q_mu, q_sqrt = _setup(n=20, m=8, d_in=3, d_out=2)
+        key = jax.random.PRNGKey(11)
+        s1, out1 = conditionals.sample_conditional_fused(
+            key, X, Z, params, q_mu, q_sqrt)
+        s2, out2 = conditionals.sample_conditional(
+            key, X, Z, params, q_mu, q_sqrt)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out1.mean),
+                                   np.asarray(out2.mean), rtol=1e-6)
+
+    def test_matern_falls_back(self):
+        X, Z, params, q_mu, q_sqrt = _setup(n=10, m=6, d_in=2, d_out=1)
+        s, out = conditionals.sample_conditional_fused(
+            jax.random.PRNGKey(0), X, Z, params, q_mu, q_sqrt,
+            kernel_kind="matern52")
+        assert s.shape == (10, 1)
+        assert bool(jnp.all(jnp.isfinite(s)))
