@@ -56,6 +56,7 @@ class DGPConfig:
     num_iw_samples: int = 1     # K (IW samples)
     jitter: float = linalg.DEFAULT_JITTER
     use_pallas: bool = False    # fused TPU conditional kernel (RBF layers)
+    likelihood: str = "gaussian"  # 'gaussian' | 'bernoulli' (probit)
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")
@@ -95,7 +96,8 @@ def init_dgp(
             layer_params.append(lv_layer_init(keys[i], cfg, dtype=dtype))
     return {
         "layers": layer_params,
-        "likelihood": likelihoods.gaussian_params(noise_variance, dtype=dtype),
+        "likelihood": likelihoods.init_params(
+            config.likelihood, noise_variance, dtype=dtype),
     }
 
 
@@ -167,8 +169,9 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
         fmean, fvar, _, local_kl = propagate(
             params, config, X, key, (S,), lv_mode=LatentVarMode.POSTERIOR, Y=Y,
             data_idx=data_idx)
-        ve = likelihoods.variational_expectations(
-            params["likelihood"], fmean, fvar, Y)          # [S, B]
+        ve = likelihoods.dispatch_variational_expectations(
+            params["likelihood"], fmean, fvar, Y,
+            kind=config.likelihood)                        # [S, B]
         datafit = jnp.sum(jnp.mean(ve, axis=0) - local_kl)
         return scale * datafit - gp_kls(params, config)
     # 'iw'
@@ -176,8 +179,9 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
     fmean, fvar, log_w, _ = propagate(
         params, config, X, key, (K,), lv_mode=LatentVarMode.POSTERIOR, Y=Y,
         data_idx=data_idx)
-    ve = likelihoods.variational_expectations(
-        params["likelihood"], fmean, fvar, Y)              # [K, B]
+    ve = likelihoods.dispatch_variational_expectations(
+        params["likelihood"], fmean, fvar, Y,
+        kind=config.likelihood)                            # [K, B]
     iw = jax.nn.logsumexp(ve + log_w, axis=0) - jnp.log(float(K))  # [B]
     return scale * jnp.sum(iw) - gp_kls(params, config)
 
@@ -200,7 +204,8 @@ def predict_y(params, config: DGPConfig, X: jax.Array, key: jax.Array,
               num_samples: int | None = None):
     """Mixture predictive moments: mean/var of (1/S) sum_s N(m_s, v_s + s2)."""
     fmean, fvar = predict_f(params, config, X, key, num_samples)
-    m, v = likelihoods.predict_mean_and_var(params["likelihood"], fmean, fvar)
+    m, v = likelihoods.dispatch_predict_mean_and_var(
+        params["likelihood"], fmean, fvar, kind=config.likelihood)
     mix_mean = jnp.mean(m, axis=0)
     mix_var = jnp.mean(v + jnp.square(m), axis=0) - jnp.square(mix_mean)
     return mix_mean, mix_var
@@ -212,5 +217,6 @@ def predict_log_density(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
     logsumexp_s log N(y | m_s, v_s + s2) - log S  -> [B]."""
     S = num_samples or config.num_samples
     fmean, fvar = predict_f(params, config, X, key, S)
-    logp = likelihoods.predict_density(params["likelihood"], fmean, fvar, Y)  # [S, B]
+    logp = likelihoods.dispatch_predict_density(
+        params["likelihood"], fmean, fvar, Y, kind=config.likelihood)  # [S, B]
     return jax.nn.logsumexp(logp, axis=0) - jnp.log(float(S))

@@ -50,8 +50,9 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
         fmean, fvar, log_w, _ = dgp.propagate(
             params, config, xb, key, (K_local,),
             lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx)
-        ve = likelihoods.variational_expectations(
-            params["likelihood"], fmean, fvar, yb)        # [K_local, B]
+        ve = likelihoods.dispatch_variational_expectations(
+            params["likelihood"], fmean, fvar, yb,
+            kind=config.likelihood)                       # [K_local, B]
         lw = ve + log_w
         # cross-'k' logsumexp over the global K axis; the max shift is a
         # numerical stabilizer only (logsumexp grads are shift-invariant),
@@ -67,8 +68,9 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
         fmean, fvar, _, local_kl = dgp.propagate(
             params, config, xb, key, (S_local,),
             lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx)
-        ve = likelihoods.variational_expectations(
-            params["likelihood"], fmean, fvar, yb)        # [S_local, B]
+        ve = likelihoods.dispatch_variational_expectations(
+            params["likelihood"], fmean, fvar, yb,
+            kind=config.likelihood)                       # [S_local, B]
         ve_mean = lax.psum(jnp.sum(ve, axis=0), "k") / S_global  # [B]
         datafit = jnp.sum(ve_mean)
         local_kl_term = jnp.sum(local_kl)
