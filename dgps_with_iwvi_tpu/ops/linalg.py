@@ -56,19 +56,24 @@ def cholesky_with_jitter(
     """
     batch_shape = K.shape[:-2]
     K_sel = jax.lax.stop_gradient(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
 
-    # selection pass (no AD): smallest level whose factor is usable
-    level = jnp.full(batch_shape, max_tries - 1, jnp.int32)
-    found = jnp.zeros(batch_shape, bool)
-    for i in range(max_tries):
-        lvl_jitter = jnp.asarray(jitter * (10.0 ** i), K.dtype)
-        ok = _chol_ok(jnp.linalg.cholesky(add_jitter(K_sel, lvl_jitter)))
-        level = jnp.where(~found & ok, i, level)
-        found = found | ok
-    jit_sel = jitter * (10.0 ** level.astype(K.dtype))   # [batch]
+    # selection pass (no AD): factorize ALL escalation levels as ONE batched
+    # Cholesky — batch elements run in parallel on TPU, so selection costs
+    # about one factorization instead of max_tries sequential ones — and
+    # pick the smallest usable level per batch element.
+    jitters = jnp.asarray(
+        [jitter * (10.0 ** i) for i in range(max_tries)], K.dtype)
+    K_all = K_sel[None] + jitters.reshape(
+        (max_tries,) + (1,) * len(batch_shape) + (1, 1)) * eye
+    ok_all = _chol_ok(jnp.linalg.cholesky(K_all))  # [T, *batch]
+    # first ok level (argmax of bool picks the first True); if none ok,
+    # fall through to the largest jitter
+    any_ok = jnp.any(ok_all, axis=0)
+    level = jnp.where(any_ok, jnp.argmax(ok_all, axis=0), max_tries - 1)
+    jit_sel = jitter * (10.0 ** level.astype(K.dtype))   # [*batch]
 
     # single differentiable factorization at the selected jitter
-    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     return jnp.linalg.cholesky(K + jit_sel[..., None, None] * eye)
 
 
