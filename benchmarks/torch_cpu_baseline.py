@@ -74,7 +74,7 @@ def measure_torch_steps_per_sec(
 
     skip_W = torch.eye(d + d_w, inner, dtype=dt)
 
-    def conditional(gp, F, final):
+    def conditional(gp, F):
         Kuu = rbf(gp, gp["Z"], gp["Z"]) + 1e-6 * torch.eye(M, dtype=dt)
         Lm = torch.linalg.cholesky(Kuu)
         Kuf = rbf(gp, gp["Z"], F)                           # [K, M, B]
@@ -107,9 +107,9 @@ def measure_torch_steps_per_sec(
         log_w = (-0.5 * (np.log(2 * np.pi) + w ** 2)).sum(-1) \
             - (-0.5 * (np.log(2 * np.pi) + lv + (w - mu) ** 2 / lv.exp())).sum(-1)
         F1 = torch.cat([xb.expand(K, B, d), w], -1)
-        m1, v1, Lq1 = conditional(params["gp1"], F1, False)
+        m1, v1, Lq1 = conditional(params["gp1"], F1)
         f1 = m1 + v1.clamp_min(0).sqrt() * torch.randn_like(m1) + F1 @ skip_W
-        m2, v2, Lq2 = conditional(params["gp2"], f1, True)
+        m2, v2, Lq2 = conditional(params["gp2"], f1)
         s2 = torch.nn.functional.softplus(params["raw_noise"]) + 1e-6
         ve = (-0.5 * (np.log(2 * np.pi) + s2.log()
                       + ((yb - m2) ** 2 + v2) / s2)).sum(-1)  # [K, B]

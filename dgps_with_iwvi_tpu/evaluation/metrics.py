@@ -45,7 +45,7 @@ def evaluate(
         mean, _ = dgp.predict_y(params, config, xb, k, num_samples)
         return ld, mean
 
-    lds, sqerrs = [], []
+    lds, err_chunks = [], []
     for start in range(0, n, bs):
         xb = X_test[start:start + bs]
         yb = Y_test[start:start + bs]
@@ -56,10 +56,9 @@ def evaluate(
         ld, mean = batch_eval(xb, yb, jax.random.fold_in(key, start))
         take = bs - pad
         lds.append(np.asarray(ld)[:take])
-        err = np.asarray(mean - yb)[:take]  # [take, d_y], normalized units
-        sqerrs.append(err)
+        err_chunks.append(np.asarray(mean - yb)[:take])  # normalized units
 
-    errs = np.concatenate(sqerrs)                       # [n, d_y]
+    errs = np.concatenate(err_chunks)                   # [n, d_y]
     ld_norm = float(np.concatenate(lds).mean())
     rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
     y_std = np.asarray(y_std).reshape(1, -1)

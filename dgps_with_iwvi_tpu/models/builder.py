@@ -125,7 +125,6 @@ def build_model(key: jax.Array, args: BuildArgs, X: jax.Array, Y: jax.Array):
     Zx = kmeans_centers(X, args.num_inducing, key=kkm)  # [M, d_x]
 
     Z_inits = []
-    width_in = None
     for cfg in config.layers:
         if isinstance(cfg, GPLayerConfig):
             d_in = cfg.d_in
@@ -137,8 +136,6 @@ def build_model(key: jax.Array, args: BuildArgs, X: jax.Array, Y: jax.Array):
             else:
                 Z = Zx[:, :d_in]
             Z_inits.append(Z)
-            width_in = d_in
-    del width_in
     params = init_dgp(
         kinit, config, Z_inits=Z_inits,
         noise_variance=args.noise_variance_init, dtype=X.dtype)

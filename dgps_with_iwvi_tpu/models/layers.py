@@ -20,7 +20,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops import conditionals, kernels, kl, likelihoods, linalg, mean_functions
+from ..ops import conditionals, kernels, kl, linalg, mean_functions
 from . import encoders
 
 

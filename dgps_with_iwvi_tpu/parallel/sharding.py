@@ -16,9 +16,6 @@ exactly — this makes 'dp-grad == single-device-grad' a testable identity.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax

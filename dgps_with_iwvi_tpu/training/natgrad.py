@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 
 from ..models.layers import GPLayerConfig

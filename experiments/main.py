@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dgps_with_iwvi_tpu.data import get_regression_data
 from dgps_with_iwvi_tpu.evaluation import Database, evaluate
