@@ -32,10 +32,9 @@ CONFIGS = [
     ("4: 2-layer LV-DGP LGG, IWVI K=20, protein", [
         "--dataset", "protein", "--configuration", "LGG", "--mode", "IW",
         "--K", "20", "--M", "128", "--iterations", "15000"]),
-    ("5: 3-layer LV-DGP LGGG, IWVI K=50, natgrad, year", [
+    ("5: 3-layer LV-DGP LGGG, IWVI K=50, natgrad, year (full N=515345)", [
         "--dataset", "year", "--configuration", "LGGG", "--mode", "IW",
-        "--K", "50", "--M", "128", "--iterations", "10000",
-        "--max_n", "120000"]),
+        "--K", "50", "--M", "128", "--iterations", "10000"]),
 ]
 
 COMMON = ["--natgrad", "final", "--print_every", "5000",

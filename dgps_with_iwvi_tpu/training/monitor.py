@@ -34,9 +34,11 @@ class Monitor:
     def __call__(self, step: int, loss: float, state=None) -> None:
         now = time.time()
         if self._t0 is None:
+            # first record: no usable interval yet (and it would include
+            # compile time anyway) — report rate 0, start the clock here
             self._t0 = now
             self._last_t = now
-            self._last_step = 0
+            self._last_step = step
         rate = (step - self._last_step) / max(now - self._last_t, 1e-9)
         rec = {"step": step, "elbo": -loss, "steps_per_sec": rate,
                "wall": now - self._t0}

@@ -137,7 +137,13 @@ def run(args) -> dict:
         y_std=data.Y_std, num_samples=args.num_predict_samples)
     final_elbo = float(elbo(trained, config, X[:args.minibatch_size],
                             Y[:args.minibatch_size], ke))
-    steps_per_sec = args.iterations / train_time
+    # steady-state rate from the monitor (excludes jit compile); fall back
+    # to the crude wall-clock estimate for very short runs
+    import math
+
+    steps_per_sec = mon.mean_steps_per_sec
+    if not math.isfinite(steps_per_sec) or steps_per_sec <= 0:
+        steps_per_sec = args.iterations / train_time
 
     row = {
         "dataset": args.dataset, "split": args.split,
