@@ -148,3 +148,37 @@ def get_regression_data(
         X_test=std(X[te], X_mean, X_std), Y_test=std(Y[te], Y_mean, Y_std),
         X_mean=X_mean, X_std=X_std, Y_mean=Y_mean, Y_std=Y_std,
         split=split, synthetic=synthetic)
+
+
+def get_classification_data(
+    name: str,
+    split: int = 0,
+    prop: float = 0.9,
+    data_dir: str = DEFAULT_DATA_DIR,
+    dtype=np.float32,
+    max_n: int | None = None,
+) -> Dataset:
+    """Binary-classification variant (bb get_classification_data analog):
+    X standardized by train stats, labels left as {0, 1}. Pre-staged files
+    hold labels in Y / the last column; the synthetic surrogate thresholds
+    its latent function at the median."""
+    X, Y, synthetic = _load_raw(name, data_dir)
+    if synthetic:
+        Y = (Y > np.median(Y)).astype(np.float64)
+    assert set(np.unique(Y)) <= {0.0, 1.0}, "labels must be binary {0,1}"
+    if max_n is not None and X.shape[0] > max_n:
+        X, Y = X[:max_n], Y[:max_n]
+    N = X.shape[0]
+    perm = np.random.RandomState(split).permutation(N)
+    n_train = int(prop * N)
+    tr, te = perm[:n_train], perm[n_train:]
+    X_mean, X_std = X[tr].mean(0), X[tr].std(0)
+    X_std = np.where(X_std <= 1e-10, 1.0, X_std)
+    ones = np.ones(Y.shape[1])
+    std = lambda A: ((A - X_mean) / X_std).astype(dtype)
+    return Dataset(
+        name=name,
+        X_train=std(X[tr]), Y_train=Y[tr].astype(dtype),
+        X_test=std(X[te]), Y_test=Y[te].astype(dtype),
+        X_mean=X_mean, X_std=X_std, Y_mean=0.0 * ones, Y_std=ones,
+        split=split, synthetic=synthetic)

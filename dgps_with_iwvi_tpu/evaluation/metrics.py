@@ -28,11 +28,15 @@ def evaluate(
     y_std: np.ndarray,
     num_samples: int = 100,
     batch_size: int = 1024,
+    likelihood: str = "gaussian",
 ):
     """-> dict(test_loglik, test_rmse, test_loglik_normalized, test_rmse_normalized).
 
     test_loglik is the mean per-point mixture log-density in ORIGINAL units;
     test_rmse the root-mean-square error of the mixture mean, original units.
+
+    likelihood='bernoulli': labels are not unit-standardized, so no
+    un-normalization applies; adds test_accuracy (mixture p > 0.5).
     """
     X_test = jnp.asarray(X_test)
     Y_test = jnp.asarray(Y_test)
@@ -61,6 +65,16 @@ def evaluate(
     errs = np.concatenate(err_chunks)                   # [n, d_y]
     ld_norm = float(np.concatenate(lds).mean())
     rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
+    if likelihood == "bernoulli":
+        # errs = p - y with y in {0,1}: |err| < 0.5 <=> correct prediction
+        acc = float(np.mean(np.all(np.abs(errs) < 0.5, axis=-1)))
+        return {
+            "test_loglik": ld_norm,
+            "test_rmse": rmse_norm,
+            "test_loglik_normalized": ld_norm,
+            "test_rmse_normalized": rmse_norm,
+            "test_accuracy": acc,
+        }
     y_std = np.asarray(y_std).reshape(1, -1)
     rmse_orig = float(np.sqrt(np.mean(np.sum((errs * y_std) ** 2, -1))))
     log_sigma = float(np.sum(np.log(y_std)))            # per-dim sum

@@ -39,6 +39,7 @@ class BuildArgs:
     use_pallas: bool = False
     kernel_kind: str = "rbf"    # rbf | matern12 | matern32 | matern52
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
+    likelihood: str = "gaussian"  # gaussian | bernoulli (probit)
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -107,6 +108,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         num_iw_samples=args.num_iw_samples,
         jitter=args.jitter,
         use_pallas=args.use_pallas,
+        likelihood=args.likelihood,
     )
 
 

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from dgps_with_iwvi_tpu.data import get_regression_data
+from dgps_with_iwvi_tpu.data import get_classification_data, get_regression_data
 from dgps_with_iwvi_tpu.evaluation import Database, evaluate
 from dgps_with_iwvi_tpu.models import BuildArgs, build_model, elbo
 from dgps_with_iwvi_tpu.training import TrainConfig, fit
@@ -53,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--d_w", type=int, default=1, help="latent dim per LV layer")
     p.add_argument("--kernel", default="rbf",
                    choices=["rbf", "matern12", "matern32", "matern52"])
+    p.add_argument("--likelihood", default="gaussian",
+                   choices=["gaussian", "bernoulli"])
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas conditional kernels")
     p.add_argument("--non_amortized", action="store_true",
@@ -78,8 +80,9 @@ def parse_args(argv=None):
 def run(args) -> dict:
     key = jax.random.PRNGKey(args.seed)
     data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
-    data = get_regression_data(args.dataset, args.split, max_n=args.max_n,
-                               **data_kw)
+    get_data = (get_classification_data if args.likelihood == "bernoulli"
+                else get_regression_data)
+    data = get_data(args.dataset, args.split, max_n=args.max_n, **data_kw)
     if data.synthetic:
         print(f"[data] {args.dataset}: no pre-staged file found -> "
               f"deterministic synthetic surrogate (N={data.N}, D={data.D})")
@@ -91,7 +94,7 @@ def run(args) -> dict:
         num_inducing=args.M, num_iw_samples=args.K,
         num_samples=args.num_samples, d_w=args.d_w,
         kernel_kind=args.kernel, use_pallas=args.pallas,
-        amortized=not args.non_amortized)
+        amortized=not args.non_amortized, likelihood=args.likelihood)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
@@ -134,7 +137,8 @@ def run(args) -> dict:
 
     metrics = evaluate(
         trained, config, data.X_test, data.Y_test, ke,
-        y_std=data.Y_std, num_samples=args.num_predict_samples)
+        y_std=data.Y_std, num_samples=args.num_predict_samples,
+        likelihood=args.likelihood)
     final_elbo = float(elbo(trained, config, X[:args.minibatch_size],
                             Y[:args.minibatch_size], ke))
     # steady-state rate from the monitor (excludes jit compile); fall back
