@@ -40,6 +40,7 @@ class BuildArgs:
     kernel_kind: str = "rbf"    # rbf | matern12 | matern32 | matern52
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     likelihood: str = "gaussian"  # gaussian | bernoulli (probit)
+    jitter_tries: int = 4
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -109,6 +110,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         jitter=args.jitter,
         use_pallas=args.use_pallas,
         likelihood=args.likelihood,
+        jitter_tries=args.jitter_tries,
     )
 
 

@@ -57,6 +57,9 @@ class DGPConfig:
     jitter: float = linalg.DEFAULT_JITTER
     use_pallas: bool = False    # fused TPU conditional kernel (RBF layers)
     likelihood: str = "gaussian"  # 'gaussian' | 'bernoulli' (probit)
+    # Kuu jitter-escalation depth; 1 = single fixed-jitter factorization
+    # (fastest, no rescue), 4 = default 10x escalation ladder
+    jitter_tries: int = 4
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")
@@ -140,7 +143,8 @@ def propagate(
         else:
             F, moments = gp_layer_propagate(
                 params["layers"][i], cfg, F, lkey, jitter=config.jitter,
-                use_pallas=config.use_pallas)
+                use_pallas=config.use_pallas,
+                jitter_tries=config.jitter_tries)
             if cfg.final:
                 final_out = moments
     fmean, fvar = final_out

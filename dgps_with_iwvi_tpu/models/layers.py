@@ -124,6 +124,7 @@ def gp_layer_propagate(
     *,
     jitter: float = linalg.DEFAULT_JITTER,
     use_pallas: bool = False,
+    jitter_tries: int = 4,
 ):
     """One whitened-SVGP layer step.
 
@@ -138,11 +139,13 @@ def gp_layer_propagate(
         # gram -> conditional -> reparameterized sample in one Pallas kernel
         raw_sample, out = conditionals.sample_conditional_fused(
             key, F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
-            kernel_kind=cfg.kernel_kind, jitter=jitter)
+            kernel_kind=cfg.kernel_kind, jitter=jitter,
+            jitter_tries=jitter_tries)
     else:
         out = conditionals.conditional(
             F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
-            kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas)
+            kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas,
+            jitter_tries=jitter_tries)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:

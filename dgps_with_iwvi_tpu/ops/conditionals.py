@@ -104,6 +104,7 @@ def conditional(
     jitter: float = DEFAULT_JITTER,
     Lm: jax.Array | None = None,
     use_pallas: bool = False,
+    jitter_tries: int = 4,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
@@ -117,7 +118,7 @@ def conditional(
     """
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
-        Lm = cholesky_with_jitter(Kuu, jitter)
+        Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
     if use_pallas and kernel_kind == "rbf":
         from .pallas.conditional import fused_conditional
 
@@ -153,6 +154,7 @@ def sample_conditional_fused(
     kernel_kind: str = "rbf",
     jitter: float = DEFAULT_JITTER,
     Lm: jax.Array | None = None,
+    jitter_tries: int = 4,
 ) -> tuple[jax.Array, ConditionalOut]:
     """Conditional + reparameterized sample as ONE fused Pallas kernel
     (gram -> Linv matmul -> moments -> on-core PRNG sample; the complete
@@ -167,7 +169,7 @@ def sample_conditional_fused(
 
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
-        Lm = cholesky_with_jitter(Kuu, jitter)
+        Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
     ls = kernels.kernel_lengthscales(kernel_params)
     var = kernels.kernel_variance(kernel_params)
     lead = X.shape[:-2]

@@ -58,6 +58,15 @@ def cholesky_with_jitter(
     K_sel = jax.lax.stop_gradient(K)
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
 
+    if max_tries == 1:
+        # fast path: fixed jitter, no selection factorizations (the TPU
+        # Cholesky custom-call serializes batch elements, so the selection
+        # pass costs ~max_tries extra factorizations per call). Profile-
+        # guided knob: set DGPConfig.jitter_tries=1 when inputs are known
+        # well-conditioned; a failed factorization then surfaces as NaNs
+        # instead of being rescued.
+        return jnp.linalg.cholesky(add_jitter(K, jnp.asarray(jitter, K.dtype)))
+
     # selection pass (no AD): factorize ALL escalation levels as ONE batched
     # Cholesky — batch elements run in parallel on TPU, so selection costs
     # about one factorization instead of max_tries sequential ones — and

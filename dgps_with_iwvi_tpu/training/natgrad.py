@@ -105,7 +105,7 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         Sinv = cho_solve(L, jnp.broadcast_to(eye, S.shape))
         P = Sinv + 2.0 * gamma * H
         P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
-        Lp = cholesky_with_jitter(P, 1e-12, max_tries=4)
+        Lp = cholesky_with_jitter(P, 1e-12, max_tries=2)
         S_new = cho_solve(Lp, jnp.broadcast_to(eye, S.shape))
         S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
         m_new = jnp.swapaxes((S_new @ theta1_new)[..., 0], 0, 1)  # [M, D]
