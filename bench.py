@@ -27,6 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the axon remote-compile tunnel costs
+# seconds per (re)compiled executable, and every fresh process would
+# otherwise recompile even tiny init ops.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def measure_tpu_steps_per_sec(chunks: int = 5, steps_per_call: int = 100):
     from dgps_with_iwvi_tpu.data import get_regression_data

@@ -126,7 +126,24 @@ def build_model(key: jax.Array, args: BuildArgs, X: jax.Array, Y: jax.Array):
     d_x, d_y = X.shape[1], Y.shape[1]
     config = build_config(args, d_x, d_y, num_data=X.shape[0])
     kkm, kinit = jax.random.split(key)
-    Zx = kmeans_centers(X, args.num_inducing, key=kkm)  # [M, d_x]
+    # Z init is one-time host-side work: prefer the native C++ kmeans++
+    # (no XLA compile — the on-device Lloyd scan costs minutes of compile
+    # through the remote-compile tunnel); fall back to the JAX version.
+    Zx = None
+    if X.shape[0] > args.num_inducing:
+        try:
+            import numpy as _np
+
+            from ..data import native_loader
+
+            if native_loader.native_available():
+                seed = int(jax.random.randint(kkm, (), 0, 2**31 - 1))
+                Zx = jnp.asarray(native_loader.kmeans(
+                    _np.asarray(X), args.num_inducing, seed=seed), X.dtype)
+        except Exception:
+            Zx = None
+    if Zx is None:
+        Zx = kmeans_centers(X, args.num_inducing, key=kkm)  # [M, d_x]
 
     Z_inits = []
     for cfg in config.layers:

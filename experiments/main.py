@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the axon remote-compile tunnel costs
+# seconds per (re)compiled executable, and every fresh process would
+# otherwise recompile even tiny init ops.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from dgps_with_iwvi_tpu.data import get_classification_data, get_regression_data
 from dgps_with_iwvi_tpu.evaluation import Database, evaluate
 from dgps_with_iwvi_tpu.models import BuildArgs, build_model, elbo
