@@ -11,6 +11,7 @@ from .dgp import (
     gp_kls,
     init_dgp,
     predict_f,
+    predict_f_full_cov,
     predict_log_density,
     predict_y,
     propagate,
@@ -30,6 +31,7 @@ __all__ = [
     "init_dgp",
     "kmeans_centers",
     "predict_f",
+    "predict_f_full_cov",
     "predict_log_density",
     "predict_y",
     "propagate",

@@ -41,6 +41,7 @@ class BuildArgs:
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     likelihood: str = "gaussian"  # gaussian | bernoulli (probit)
     jitter_tries: int = 4
+    white: bool = True          # whitened parameterization (reference default)
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -99,7 +100,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
             d_out = d_y if final else inner_dim
             layer_cfgs.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=args.num_inducing,
-                kernel_kind=args.kernel_kind, final=final))
+                kernel_kind=args.kernel_kind, final=final, white=args.white))
             width = d_out
     return DGPConfig(
         layers=tuple(layer_cfgs),

@@ -156,7 +156,9 @@ def gp_kls(params, config: DGPConfig) -> jax.Array:
     total = 0.0
     for i, cfg in enumerate(config.layers):
         if isinstance(cfg, GPLayerConfig):
-            total = total + gp_layer_kl(params["layers"][i], cfg)
+            total = total + gp_layer_kl(params["layers"][i], cfg,
+                                        jitter=config.jitter,
+                                        jitter_tries=config.jitter_tries)
     return total
 
 
@@ -202,6 +204,62 @@ def predict_f(params, config: DGPConfig, X: jax.Array, key: jax.Array,
     fmean, fvar, _, _ = propagate(
         params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given)
     return fmean, fvar
+
+
+def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
+                       key: jax.Array, num_samples: int | None = None, *,
+                       lv_mode: str = LatentVarMode.PRIOR, ws_given=None):
+    """Full-covariance predictive for the FINAL layer: S samples of
+    (mean [N, d_y], cov [d_y, N, N]) given sampled paths through the
+    earlier layers (gpflow predict_f(full_cov=True) analog; inter-layer
+    propagation stays marginal per the doubly-stochastic factorization).
+    """
+    from ..ops import conditionals as _cond
+    from ..ops import kernels as _kern
+    from ..ops import mean_functions as _mf
+    from ..ops.linalg import cholesky_with_jitter as _chol
+
+    S = num_samples or config.num_samples
+    # propagate through all but the final layer by running the full stack
+    # and re-extracting the final layer's INPUT: cheapest correct route is
+    # to replay the stack manually.
+    B = X.shape[0]
+    F = jnp.broadcast_to(X, (S,) + X.shape)
+    lv_idx = 0
+    final_i = len(config.layers) - 1
+    for i, cfg in enumerate(config.layers[:-1]):
+        lkey = jax.random.fold_in(key, i)
+        if isinstance(cfg, LVLayerConfig):
+            w_given = None if ws_given is None else ws_given[lv_idx]
+            F, _, _ = lv_layer_propagate(
+                params["layers"][i], cfg, F, lkey, mode=lv_mode, X0=X,
+                w_given=w_given)
+            lv_idx += 1
+        else:
+            F, _ = gp_layer_propagate(
+                params["layers"][i], cfg, F, lkey, jitter=config.jitter,
+                use_pallas=config.use_pallas,
+                jitter_tries=config.jitter_tries)
+    fcfg = config.layers[final_i]
+    assert fcfg.white, "full-cov prediction implemented for white=True"
+    fp = params["layers"][final_i]
+    q_sqrt = jnp.tril(fp["q_sqrt"])
+    Kuu = _kern.K(fp["kernel"], fp["Z"], fp["Z"], kind=fcfg.kernel_kind)
+    Lm = _chol(Kuu, config.jitter, max_tries=config.jitter_tries)
+
+    def per_sample(Fs):
+        Kuf = _kern.K(fp["kernel"], fp["Z"], Fs, kind=fcfg.kernel_kind)
+        Kff = _kern.K(fp["kernel"], Fs, Fs, kind=fcfg.kernel_kind)
+        out = _cond.base_conditional_whitened_fullcov(
+            Kuf, Lm, Kff, fp["q_mu"], q_sqrt)
+        if fcfg.mean_function == "skip":
+            W = fp.get("mean_W")
+            if W is not None:
+                W = jax.lax.stop_gradient(W)
+            return out.mean + _mf.apply_mean_function(Fs, W), out.var
+        return out.mean, out.var
+
+    return jax.vmap(per_sample)(F)  # ([S, N, d_y], [S, d_y, N, N])
 
 
 def predict_y(params, config: DGPConfig, X: jax.Array, key: jax.Array,

@@ -45,6 +45,7 @@ class GPLayerConfig:
     kernel_kind: str = "rbf"
     mean_function: str = "skip"  # 'skip' (identity / fixed linear) or 'zero'
     final: bool = False  # final layers return (mean, var) instead of samples
+    white: bool = True   # whitened q(v), u = Lm v (reference default)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,7 +135,7 @@ def gp_layer_propagate(
     reference objective (SURVEY.md §3.2).
     """
     q_sqrt = jnp.tril(params["q_sqrt"])
-    fused_sample = use_pallas and not cfg.final
+    fused_sample = use_pallas and not cfg.final and cfg.white
     if fused_sample:
         # gram -> conditional -> reparameterized sample in one Pallas kernel
         raw_sample, out = conditionals.sample_conditional_fused(
@@ -145,7 +146,7 @@ def gp_layer_propagate(
         out = conditionals.conditional(
             F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
             kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas,
-            jitter_tries=jitter_tries)
+            jitter_tries=jitter_tries, white=cfg.white)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:
@@ -165,9 +166,15 @@ def gp_layer_propagate(
     return sample, (mean, out.var)
 
 
-def gp_layer_kl(params, cfg: GPLayerConfig) -> jax.Array:
-    del cfg
-    return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
+def gp_layer_kl(params, cfg: GPLayerConfig,
+                jitter: float = linalg.DEFAULT_JITTER,
+                jitter_tries: int = 4) -> jax.Array:
+    if cfg.white:
+        return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
+    Kuu = kernels.K(params["kernel"], params["Z"], params["Z"],
+                    kind=cfg.kernel_kind)
+    Lm = linalg.cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
+    return kl.gauss_kl(params["q_mu"], jnp.tril(params["q_sqrt"]), Lm)
 
 
 def lv_layer_propagate(

@@ -76,6 +76,37 @@ def base_conditional_whitened(
     return ConditionalOut(mean, var)
 
 
+def base_conditional(
+    Kuf: jax.Array,      # [..., M, N]
+    Lm: jax.Array,       # [M, M] lower Cholesky of Kuu (+jitter)
+    Kff_diag: jax.Array,  # [..., N]
+    q_mu: jax.Array,     # [M, D]
+    q_sqrt: jax.Array,   # [D, M, M] lower-triangular
+    *,
+    white: bool = True,
+) -> ConditionalOut:
+    """gpflow-style base_conditional supporting BOTH parameterizations.
+
+    white=True: q over v with u = Lm v (the reference's choice; fast path
+    above). white=False: q directly over u = f(Z):
+        A    = Kuu^-1 Kuf  (two triangular solves)
+        mean = A^T q_mu
+        var  = Kff_diag - diag(Kuf^T Kuu^-1 Kuf) + rowsum((q_sqrt^T A)^2)
+    """
+    if white:
+        return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt)
+    hp = jax.lax.Precision.HIGHEST
+    A1 = solve_triangular(Lm, Kuf, lower=True)             # [..., M, N]
+    fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
+    A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
+    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
+    LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
+                     precision=hp)
+    fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
+    var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)
+    return ConditionalOut(mean, var)
+
+
 def base_conditional_whitened_fullcov(
     Kuf: jax.Array,      # [M, N]
     Lm: jax.Array,       # [M, M]
@@ -105,6 +136,7 @@ def conditional(
     Lm: jax.Array | None = None,
     use_pallas: bool = False,
     jitter_tries: int = 4,
+    white: bool = True,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
@@ -119,7 +151,7 @@ def conditional(
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
         Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
-    if use_pallas and kernel_kind == "rbf":
+    if use_pallas and kernel_kind == "rbf" and white:
         from .pallas.conditional import fused_conditional
 
         ls = kernels.kernel_lengthscales(kernel_params)
@@ -140,7 +172,7 @@ def conditional(
     # Z:[M,D] broadcasts against X:[..., N, D] -> Kuf:[..., M, N]
     Kuf = kernels.K(kernel_params, Z, X, kind=kernel_kind)
     Kff_diag = kernels.Kdiag(kernel_params, X, kind=kernel_kind)
-    return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt)
+    return base_conditional(Kuf, Lm, Kff_diag, q_mu, q_sqrt, white=white)
 
 
 def sample_conditional_fused(

@@ -27,6 +27,27 @@ def gauss_kl_white(q_mu: jax.Array, q_sqrt: jax.Array) -> jax.Array:
     return 0.5 * (mahal + trace - M * D - logdet)
 
 
+def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array, Lm: jax.Array) -> jax.Array:
+    """KL( N(q_mu, L L^T) || N(0, Kuu) ) with Lm = chol(Kuu), summed over
+    output dims — the non-whitened case of the reference's gauss_kl:
+        0.5 * sum_d [ m_d^T Kuu^-1 m_d + tr(Kuu^-1 S_d) - M
+                      + log|Kuu| - log|S_d| ]
+    """
+    from .linalg import solve_triangular
+
+    M, D = q_mu.shape
+    L = jnp.tril(q_sqrt)                                    # [D, M, M]
+    alpha = solve_triangular(Lm, q_mu, lower=True)          # [M, D]
+    mahal = jnp.sum(jnp.square(alpha))
+    # tr(Kuu^-1 S) = || Lm^-1 L ||_F^2 per dim
+    LiL = solve_triangular(Lm, L, lower=True)               # [D, M, M]
+    trace = jnp.sum(jnp.square(LiL))
+    logdet_q = jnp.sum(jnp.log(jnp.square(
+        jnp.diagonal(L, axis1=-2, axis2=-1))))
+    logdet_p = D * 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
+    return 0.5 * (mahal + trace - M * D + logdet_p - logdet_q)
+
+
 def gauss_kl_diag_white(mu: jax.Array, log_var: jax.Array) -> jax.Array:
     """Per-row KL( N(mu, diag exp(log_var)) || N(0, I) ), reduced over the
     last axis only: [..., d] -> [...].

@@ -66,6 +66,8 @@ def parse_args(argv=None):
                    help="fused Pallas conditional kernels")
     p.add_argument("--non_amortized", action="store_true",
                    help="per-datapoint q(w) instead of the encoder (small N)")
+    p.add_argument("--no_white", action="store_true",
+                   help="non-whitened q(u) parameterization")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=100)
     p.add_argument("--print_every", type=int, default=1000)
@@ -101,7 +103,8 @@ def run(args) -> dict:
         num_inducing=args.M, num_iw_samples=args.K,
         num_samples=args.num_samples, d_w=args.d_w,
         kernel_kind=args.kernel, use_pallas=args.pallas,
-        amortized=not args.non_amortized, likelihood=args.likelihood)
+        amortized=not args.non_amortized, likelihood=args.likelihood,
+        white=not args.no_white)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "

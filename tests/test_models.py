@@ -275,3 +275,31 @@ class TestPrediction:
                            np.sqrt(np.asarray(fvar[..., 0]) + s2))
         expected = np.log(np.exp(logp).mean(0))
         np.testing.assert_allclose(np.asarray(ld), expected, rtol=1e-6)
+
+
+class TestFullCovPrediction:
+    def test_marginals_match_and_psd(self):
+        """predict_f_full_cov: diagonal == predict_f variance (same key),
+        covariance PSD."""
+        X, Y = _toy_data(12, 2)
+        cfg = DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=2, d_out=2, num_inducing=6),
+                GPLayerConfig(d_in=2, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=12, num_samples=3)
+        params = init_dgp(KEY, cfg, inner_q_sqrt_scale=0.3, dtype=jnp.float64)
+        from dgps_with_iwvi_tpu.models import predict_f_full_cov
+
+        k = jax.random.PRNGKey(4)
+        mean_m, var_m = predict_f(params, cfg, X, k, 3)
+        mean_f, cov_f = predict_f_full_cov(params, cfg, X, k, 3)
+        assert cov_f.shape == (3, 1, 12, 12)
+        np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_m),
+                                   rtol=1e-9)
+        diag = np.diagonal(np.asarray(cov_f), axis1=-2, axis2=-1)  # [3,1,12]
+        np.testing.assert_allclose(diag[:, 0, :], np.asarray(var_m)[..., 0],
+                                   rtol=1e-7, atol=1e-10)
+        for s in range(3):
+            eig = np.linalg.eigvalsh(np.asarray(cov_f)[s, 0])
+            assert eig.min() > -1e-8
