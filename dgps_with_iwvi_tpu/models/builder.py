@@ -42,6 +42,7 @@ class BuildArgs:
     likelihood: str = "gaussian"  # gaussian | bernoulli (probit)
     jitter_tries: int = 4
     white: bool = True          # whitened parameterization (reference default)
+    q_diag: bool = False        # diagonal q(u) covariance (Adam-only)
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -100,7 +101,8 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
             d_out = d_y if final else inner_dim
             layer_cfgs.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=args.num_inducing,
-                kernel_kind=args.kernel_kind, final=final, white=args.white))
+                kernel_kind=args.kernel_kind, final=final, white=args.white,
+                q_diag=args.q_diag))
             width = d_out
     return DGPConfig(
         layers=tuple(layer_cfgs),

@@ -46,6 +46,8 @@ class GPLayerConfig:
     mean_function: str = "skip"  # 'skip' (identity / fixed linear) or 'zero'
     final: bool = False  # final layers return (mean, var) instead of samples
     white: bool = True   # whitened q(v), u = Lm v (reference default)
+    q_diag: bool = False  # diagonal q covariance (gpflow SVGP q_diag=True);
+                          # cheaper family, incompatible with natgrad layers
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,15 +88,20 @@ def gp_layer_init(
     kz, kq = jax.random.split(key)
     if Z is None:
         Z = jax.random.normal(kz, (cfg.num_inducing, cfg.d_in), dtype)
+    if cfg.q_diag:
+        q_sqrt0 = jnp.full((cfg.num_inducing, cfg.d_out),
+                           q_sqrt_scale, dtype)
+    else:
+        q_sqrt0 = jnp.broadcast_to(
+            q_sqrt_scale * jnp.eye(cfg.num_inducing, dtype=dtype),
+            (cfg.d_out, cfg.num_inducing, cfg.num_inducing)).copy()
     params = {
         "kernel": kernels.rbf_params(
             cfg.d_in, variance=kernel_variance, lengthscales=lengthscales,
             dtype=dtype),
         "Z": jnp.asarray(Z, dtype),
         "q_mu": jnp.zeros((cfg.num_inducing, cfg.d_out), dtype),
-        "q_sqrt": jnp.broadcast_to(
-            q_sqrt_scale * jnp.eye(cfg.num_inducing, dtype=dtype),
-            (cfg.d_out, cfg.num_inducing, cfg.num_inducing)).copy(),
+        "q_sqrt": q_sqrt0,
     }
     W = mean_functions.skip_projection(cfg.d_in, cfg.d_out, dtype)
     if cfg.mean_function == "skip" and W is not None:
@@ -134,8 +141,10 @@ def gp_layer_propagate(
     analytic/collapsed Gaussian data term — no sample drawn, matching the
     reference objective (SURVEY.md §3.2).
     """
-    q_sqrt = jnp.tril(params["q_sqrt"])
-    fused_sample = use_pallas and not cfg.final and cfg.white
+    q_sqrt = (params["q_sqrt"] if cfg.q_diag
+              else jnp.tril(params["q_sqrt"]))
+    fused_sample = (use_pallas and not cfg.final and cfg.white
+                    and not cfg.q_diag)
     if fused_sample:
         # gram -> conditional -> reparameterized sample in one Pallas kernel
         raw_sample, out = conditionals.sample_conditional_fused(
@@ -169,6 +178,9 @@ def gp_layer_propagate(
 def gp_layer_kl(params, cfg: GPLayerConfig,
                 jitter: float = linalg.DEFAULT_JITTER,
                 jitter_tries: int = 4) -> jax.Array:
+    if cfg.q_diag:
+        assert cfg.white, "q_diag layers are whitened-only"
+        return kl.gauss_kl_white_diag(params["q_mu"], params["q_sqrt"])
     if cfg.white:
         return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
     Kuu = kernels.K(params["kernel"], params["Z"], params["Z"],

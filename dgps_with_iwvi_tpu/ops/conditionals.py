@@ -68,6 +68,11 @@ def base_conditional_whitened(
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
+    if q_sqrt.ndim == 2:
+        # q_diag: q_sqrt [M, D] holds diagonal scales; var_q = (A^2)^T s^2
+        fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
+                            jnp.square(q_sqrt), precision=hp)  # [..., N, D]
+        return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
     # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
     LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
                      precision=hp)
@@ -151,7 +156,7 @@ def conditional(
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
         Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
-    if use_pallas and kernel_kind == "rbf" and white:
+    if use_pallas and kernel_kind == "rbf" and white and q_sqrt.ndim == 3:
         from .pallas.conditional import fused_conditional
 
         ls = kernels.kernel_lengthscales(kernel_params)

@@ -27,6 +27,13 @@ def gauss_kl_white(q_mu: jax.Array, q_sqrt: jax.Array) -> jax.Array:
     return 0.5 * (mahal + trace - M * D - logdet)
 
 
+def gauss_kl_white_diag(q_mu: jax.Array, q_sqrt_diag: jax.Array) -> jax.Array:
+    """Whitened KL for the q_diag family: q_sqrt_diag [M, D] of scales.
+    0.5 * sum [ m^2 + s^2 - 1 - log s^2 ]."""
+    s2 = jnp.square(q_sqrt_diag)
+    return 0.5 * jnp.sum(jnp.square(q_mu) + s2 - 1.0 - jnp.log(s2))
+
+
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array, Lm: jax.Array) -> jax.Array:
     """KL( N(q_mu, L L^T) || N(0, Kuu) ) with Lm = chol(Kuu), summed over
     output dims — the non-whitened case of the reference's gauss_kl:

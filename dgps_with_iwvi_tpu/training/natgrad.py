@@ -46,6 +46,10 @@ def natgrad_layer_ids(config, which: str = "final") -> tuple:
     """
     gp_ids = [i for i, c in enumerate(config.layers)
               if isinstance(c, GPLayerConfig)]
+    if which != "none":
+        for i in gp_ids if which == "all" else gp_ids[-1:]:
+            assert not config.layers[i].q_diag, \
+                "natural gradients need the full-covariance q family"
     if which == "final":
         return (gp_ids[-1],)
     if which == "all":

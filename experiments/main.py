@@ -68,6 +68,8 @@ def parse_args(argv=None):
                    help="per-datapoint q(w) instead of the encoder (small N)")
     p.add_argument("--no_white", action="store_true",
                    help="non-whitened q(u) parameterization")
+    p.add_argument("--q_diag", action="store_true",
+                   help="diagonal q(u) covariance (requires --natgrad none)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=100)
     p.add_argument("--print_every", type=int, default=1000)
@@ -104,7 +106,7 @@ def run(args) -> dict:
         num_samples=args.num_samples, d_w=args.d_w,
         kernel_kind=args.kernel, use_pallas=args.pallas,
         amortized=not args.non_amortized, likelihood=args.likelihood,
-        white=not args.no_white)
+        white=not args.no_white, q_diag=args.q_diag)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
