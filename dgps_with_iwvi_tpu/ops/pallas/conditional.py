@@ -41,6 +41,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _flatten_lq(lq):
+    """[D, M, M] lower-tri blocks -> [M, D*M] concatenated along lanes."""
+    d, m, _ = lq.shape
+    return jnp.moveaxis(jnp.tril(lq).astype(jnp.float32), 0, 1).reshape(
+        m, d * m)
+
+
 def _fused_kernel(var_ref, xs_ref, zs_ref, linv_ref, qmu_ref, lq_ref,
                   mean_ref, varo_ref, kxz_ref, a_ref, *, n_out: int,
                   d_in: int):
@@ -48,19 +55,14 @@ def _fused_kernel(var_ref, xs_ref, zs_ref, linv_ref, qmu_ref, lq_ref,
     var = var_ref[0, 0]
     xs = xs_ref[...]                      # [TB, Dp]
     zs = zs_ref[...]                      # [M, Dp]
-    if d_in <= 32:
-        # small feature dim: direct (x-z)^2 accumulation on the VPU beats a
-        # lane-padded MXU matmul (no 128-lane padding waste, no bf16 passes)
-        d2 = jnp.zeros((xs.shape[0], zs.shape[0]), jnp.float32)
-        for d in range(d_in):
-            diff = xs[:, d:d + 1] - zs[:, d:d + 1].T      # [TB, M]
-            d2 = d2 + diff * diff
-    else:
-        xx = jnp.sum(xs * xs, axis=1, keepdims=True)      # [TB, 1]
-        zz = jnp.sum(zs * zs, axis=1, keepdims=True).T    # [1, M]
-        cross = jnp.dot(xs, zs.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(xx - 2.0 * cross + zz, 0.0)
+    # MXU gram even for small d_in: lane-sliced VPU accumulation measured
+    # SLOWER than the lane-padded dot (strided lane extracts serialize)
+    del d_in
+    xx = jnp.sum(xs * xs, axis=1, keepdims=True)          # [TB, 1]
+    zz = jnp.sum(zs * zs, axis=1, keepdims=True).T        # [1, M]
+    cross = jnp.dot(xs, zs.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(xx - 2.0 * cross + zz, 0.0)
     kxz = var * jnp.exp(-0.5 * d2)                        # [TB, M]
     a = jnp.dot(kxz, linv_ref[...].T,
                 preferred_element_type=jnp.float32,
@@ -71,11 +73,16 @@ def _fused_kernel(var_ref, xs_ref, zs_ref, linv_ref, qmu_ref, lq_ref,
                             preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)  # [TB, D]
     varp = var - jnp.sum(a * a, axis=1, keepdims=True)    # [TB, 1]
-    cols = []
-    for d in range(n_out):
-        bd = jnp.dot(a, lq_ref[d], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        cols.append(jnp.sum(bd * bd, axis=1, keepdims=True))
+    # ONE wide MXU dot against the [M, D*M] concatenated q_sqrt blocks
+    # (lq_ref arrives pre-flattened), then 128-aligned lane-block reduces —
+    # beats D separate [TB,M]x[M,M] dots (per-dot overhead dominates at
+    # small M).
+    m = a.shape[1]
+    ball = jnp.dot(a, lq_ref[...], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)   # [TB, D*M]
+    sq = ball * ball
+    cols = [jnp.sum(sq[:, d * m:(d + 1) * m], axis=1, keepdims=True)
+            for d in range(n_out)]
     varo_ref[...] = varp + jnp.concatenate(cols, axis=1)
 
 
@@ -140,14 +147,14 @@ def _fused_forward(xs, zs, var, linv, q_mu, lq, *, tile_n: int = 512,
             full((m, dp)),
             full((m, m)),
             full((m, d_out)),
-            full((d_out, m, m)),
+            full((m, d_out * m)),
         ],
         out_specs=(tile_spec(d_out), tile_spec(d_out),
                    tile_spec(m), tile_spec(m)),
         out_shape=out_shape,
         interpret=interpret,
     )(var_arr, xs_p, zs_p, linv.astype(f32), q_mu.astype(f32),
-      jnp.tril(lq).astype(f32))
+      _flatten_lq(lq))
     return mean[:n], varo[:n], kxz[:n], a[:n]
 
 
@@ -182,13 +189,13 @@ def _fused_sample_forward(xs, zs, var, linv, q_mu, lq, seed, *,
         functools.partial(_sample_kernel, n_out=d_out, d_in=d_in),
         grid=grid,
         in_specs=[smem, smem, tile_spec(dp), full((m, dp)), full((m, m)),
-                  full((m, d_out)), full((d_out, m, m))],
+                  full((m, d_out)), full((m, d_out * m))],
         out_specs=(tile_spec(d_out), tile_spec(d_out), tile_spec(d_out),
                    tile_spec(m), tile_spec(m)),
         out_shape=out_shape,
         interpret=interpret,
     )(var_arr, seed_arr, xs_p, zs_p, linv.astype(f32), q_mu.astype(f32),
-      jnp.tril(lq).astype(f32))
+      _flatten_lq(lq))
     return mean[:n], varo[:n], samp[:n], kxz[:n], a[:n]
 
 
