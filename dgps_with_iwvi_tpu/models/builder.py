@@ -89,7 +89,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
     for t in tokens:
         if t == "L":
             layer_cfgs.append(LVLayerConfig(
-                d_w=args.d_w, d_in=width, d_y=d_y,
+                d_w=args.d_w, d_in=width, d_y=d_y, d_x=d_x,
                 encoder_hidden=tuple(args.encoder_hidden),
                 encoder_init_logvar=args.encoder_init_logvar,
                 amortized=args.amortized,

@@ -55,6 +55,10 @@ class LVLayerConfig:
     d_w: int
     d_in: int  # width of the propagated features entering this layer
     d_y: int   # observation dim fed to the amortized encoder
+    # the amortized encoder is fed s = concat[x, y] with the ORIGINAL inputs
+    # (SURVEY.md §2.1), so its input width is d_x + d_y, not d_in + d_y.
+    # d_x <= 0 means "same as d_in" (an LV layer placed before any GP layer).
+    d_x: int = -1
     encoder_hidden: tuple = (20, 20)
     encoder_init_logvar: float = -4.6
     # amortized=False: per-datapoint (mu_n, log sigma_n^2) variational
@@ -117,9 +121,10 @@ def lv_layer_init(key: jax.Array, cfg: LVLayerConfig, dtype=jnp.float32):
             "q_logvar_w": jnp.full((cfg.num_data, cfg.d_w),
                                    cfg.encoder_init_logvar, dtype),
         }
+    d_x = cfg.d_x if cfg.d_x > 0 else cfg.d_in
     return {
         "encoder": encoders.encoder_init(
-            key, cfg.d_in + cfg.d_y, cfg.d_w, cfg.encoder_hidden,
+            key, d_x + cfg.d_y, cfg.d_w, cfg.encoder_hidden,
             cfg.encoder_init_logvar, dtype),
     }
 
