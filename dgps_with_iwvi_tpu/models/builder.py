@@ -36,7 +36,7 @@ class BuildArgs:
     encoder_init_logvar: float = -4.6
     noise_variance_init: float = 0.05
     jitter: float = 1e-6
-    use_pallas: bool = False
+    use_pallas: bool | str = "auto"
     kernel_kind: str = "rbf"    # rbf | matern12 | matern32 | matern52
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     likelihood: str = "gaussian"  # gaussian | bernoulli (probit)

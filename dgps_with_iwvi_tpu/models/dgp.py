@@ -55,7 +55,12 @@ class DGPConfig:
     num_samples: int = 1        # S (VI MC samples; also prediction default)
     num_iw_samples: int = 1     # K (IW samples)
     jitter: float = linalg.DEFAULT_JITTER
-    use_pallas: bool = False    # fused TPU conditional kernel (RBF layers)
+    # fused TPU conditional kernels (RBF, whitened layers): True / False /
+    # "auto". Clean in-process A/B shows XLA's fusion matching or beating
+    # the Pallas kernel at M=128 AND M=512 on v5e, so "auto" currently
+    # resolves to False everywhere; the kernel stays available (True) as
+    # the mandated fused-pipeline capability and for future tuning.
+    use_pallas: bool | str = "auto"
     likelihood: str = "gaussian"  # 'gaussian' | 'bernoulli' (probit)
     # Kuu jitter-escalation depth; 1 = single fixed-jitter factorization
     # (fastest, no rescue), 4 = default 10x escalation ladder

@@ -136,7 +136,7 @@ def gp_layer_propagate(
     key: jax.Array | None,
     *,
     jitter: float = linalg.DEFAULT_JITTER,
-    use_pallas: bool = False,
+    use_pallas: bool | str = "auto",
     jitter_tries: int = 4,
 ):
     """One whitened-SVGP layer step.
@@ -148,6 +148,8 @@ def gp_layer_propagate(
     """
     q_sqrt = (params["q_sqrt"] if cfg.q_diag
               else jnp.tril(params["q_sqrt"]))
+    if use_pallas == "auto":
+        use_pallas = False  # measured: XLA fusion >= pallas at all tested M
     fused_sample = (use_pallas and not cfg.final and cfg.white
                     and not cfg.q_diag)
     if fused_sample:

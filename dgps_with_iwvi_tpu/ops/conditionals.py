@@ -156,6 +156,8 @@ def conditional(
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
         Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
+    if use_pallas == "auto":
+        use_pallas = False  # measured: XLA fusion >= pallas at all tested M
     if use_pallas and kernel_kind == "rbf" and white and q_sqrt.ndim == 3:
         from .pallas.conditional import fused_conditional
 

@@ -62,8 +62,9 @@ def parse_args(argv=None):
                    choices=["rbf", "matern12", "matern32", "matern52"])
     p.add_argument("--likelihood", default="gaussian",
                    choices=["gaussian", "bernoulli"])
-    p.add_argument("--pallas", action="store_true",
-                   help="fused Pallas conditional kernels")
+    p.add_argument("--pallas", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas conditional kernels (auto: M >= 256)")
     p.add_argument("--non_amortized", action="store_true",
                    help="per-datapoint q(w) instead of the encoder (small N)")
     p.add_argument("--no_white", action="store_true",
@@ -104,7 +105,8 @@ def run(args) -> dict:
         configuration=args.configuration, mode=args.mode.upper(),
         num_inducing=args.M, num_iw_samples=args.K,
         num_samples=args.num_samples, d_w=args.d_w,
-        kernel_kind=args.kernel, use_pallas=args.pallas,
+        kernel_kind=args.kernel,
+        use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         amortized=not args.non_amortized, likelihood=args.likelihood,
         white=not args.no_white, q_diag=args.q_diag)
     kb, kt, ke = jax.random.split(key, 3)
