@@ -135,10 +135,18 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
     )
 
     def step_fn(state: TrainState, X, Y, key):
-        loss, g_nat, g_rest = grads_sharded(
-            state.natvars, state.rest, X, Y, key)
-        natvars = (ng.natgrad_update(state.natvars, g_nat, tc.gamma)
-                   if layer_ids else state.natvars)
+        if layer_ids and tc.schedule == "alternating":
+            # reference schedule: natgrad on one sharded minibatch, Adam on
+            # a fresh one (two psum'd passes)
+            k1, k2 = jax.random.split(key)
+            _, g_nat, _ = grads_sharded(state.natvars, state.rest, X, Y, k1)
+            natvars = ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+            loss, _, g_rest = grads_sharded(natvars, state.rest, X, Y, k2)
+        else:
+            loss, g_nat, g_rest = grads_sharded(
+                state.natvars, state.rest, X, Y, key)
+            natvars = (ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+                       if layer_ids else state.natvars)
         updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
         rest = optax.apply_updates(state.rest, updates)
         return TrainState(rest, natvars, opt_state, state.step + 1), loss

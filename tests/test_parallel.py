@@ -153,3 +153,27 @@ class TestShardedParity:
             num_data=10, objective="iw", num_iw_samples=6)
         with pytest.raises(AssertionError):
             make_parallel_trainer(cfg, TrainConfig(), mesh)
+
+    def test_sharded_alternating_schedule(self):
+        """The reference's two-pass natgrad/Adam schedule also works sharded."""
+        mesh = make_mesh(4, 2)
+        X, Y = _data(n=128, d=3)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=3, d_y=1),
+                GPLayerConfig(d_in=4, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=128, objective="iw", num_iw_samples=4)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        from dgps_with_iwvi_tpu.training.train import TrainConfig as TC
+        tc = TC(lr=1e-2, gamma=0.05, natgrad="final", schedule="alternating",
+                minibatch_size=32, iterations=40, steps_per_call=20)
+        init_fn, _, chunk_fn, params_fn = make_parallel_trainer(cfg, tc, mesh)
+        state = replicate(mesh, init_fn(params))
+        Xs, Ys = shard_arrays(mesh, X, Y)
+        cj = jax.jit(chunk_fn)
+        state, l1 = cj(state, Xs, Ys, jax.random.PRNGKey(1))
+        state, l2 = cj(state, Xs, Ys, jax.random.PRNGKey(2))
+        assert float(jnp.mean(l2)) < float(jnp.mean(l1))
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree.leaves(params_fn(state)))
