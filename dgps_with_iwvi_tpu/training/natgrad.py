@@ -60,12 +60,23 @@ def natgrad_layer_ids(config, which: str = "final") -> tuple:
 
 
 def extract_natvars(params, layer_ids: Sequence[int]):
-    """Pull (m, S = L L^T) blocks out of the canonical (q_mu, q_sqrt) store."""
+    """Pull (m, S = L L^T) blocks out of the canonical (q_mu, q_sqrt) store.
+
+    Also carries S^-1: the natgrad update needs it every step, and its NEW
+    value is the updated precision itself (S_new = P^-1 with P = S^-1 +
+    2 gamma H), so keeping it in the state removes a per-step factorization
+    + two triangular inversions. It is stop-gradient'd in the loss (see
+    natgrad_update: the zero cotangent is discarded).
+    """
     natvars = []
     for i in layer_ids:
         L = jnp.tril(params["layers"][i]["q_sqrt"])  # [D, M, M]
         S = L @ jnp.swapaxes(L, -1, -2)
-        natvars.append({"q_mu": params["layers"][i]["q_mu"], "q_S": S})
+        eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+        Sinv = cho_solve(L, jnp.broadcast_to(eye, S.shape))
+        Sinv = 0.5 * (Sinv + jnp.swapaxes(Sinv, -1, -2))
+        natvars.append({"q_mu": params["layers"][i]["q_mu"], "q_S": S,
+                        "q_Sinv": Sinv})
     return natvars
 
 
@@ -94,26 +105,26 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
     for nv, g in zip(natvars, nat_grads):
         m = nv["q_mu"]                     # [M, D]
         S = nv["q_S"]                      # [D, M, M]
+        Sinv = nv["q_Sinv"]                # [D, M, M] (carried; see extract)
         dm = g["q_mu"]                     # [M, D]
         G = g["q_S"]                       # [D, M, M]
         H = 0.5 * (G + jnp.swapaxes(G, -1, -2))
         # per-dim column vectors: [D, M, 1]
         mT = jnp.swapaxes(m, 0, 1)[..., None]
         dmT = jnp.swapaxes(dm, 0, 1)[..., None]
-        L = jnp.linalg.cholesky(S)
-        Sinv_m = cho_solve(L, mT)                      # [D, M, 1]
+        Sinv_m = Sinv @ mT                             # [D, M, 1]
         deta1 = dmT - 2.0 * (H @ mT)                   # [D, M, 1]
         theta1_new = Sinv_m - gamma * deta1
-        # S' = (S^-1 + 2 gamma H)^-1, via chol of the new precision
+        # S' = (S^-1 + 2 gamma H)^-1, via chol of the new precision;
+        # the new precision IS the carried S^-1 for the next step.
         eye = jnp.eye(S.shape[-1], dtype=S.dtype)
-        Sinv = cho_solve(L, jnp.broadcast_to(eye, S.shape))
         P = Sinv + 2.0 * gamma * H
         P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
         Lp = cholesky_with_jitter(P, 1e-12, max_tries=2)
         S_new = cho_solve(Lp, jnp.broadcast_to(eye, S.shape))
         S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
         m_new = jnp.swapaxes((S_new @ theta1_new)[..., 0], 0, 1)  # [M, D]
-        new.append({"q_mu": m_new, "q_S": S_new})
+        new.append({"q_mu": m_new, "q_S": S_new, "q_Sinv": P})
     return new
 
 
