@@ -40,6 +40,9 @@ UCI_REGISTRY: Dict[str, Tuple[int, int]] = {
     "year": (515345, 90),
 }
 
+# raw-text datasets whose target is the FIRST column (UCI file layouts)
+TARGET_FIRST_COLUMN = {"year"}
+
 DEFAULT_DATA_DIR = os.environ.get(
     "DGP_DATA_DIR", os.path.join(os.path.expanduser("~"), ".dgp_data"))
 
@@ -97,14 +100,18 @@ def _load_raw(name: str, data_dir: str) -> tuple[np.ndarray, np.ndarray, bool]:
         if Y.ndim == 1:
             Y = Y[:, None]
         return X, Y, False
-    # raw delimited text (last column = target), parsed by the native C++
-    # loader (native/src/dgp_data.cpp) — the fast path for year-scale files
+    # raw delimited text parsed by the native C++ loader
+    # (native/src/dgp_data.cpp) — the fast path for year-scale files.
+    # Target column follows the UCI file conventions: FIRST column for
+    # YearPredictionMSD ('year'), LAST column otherwise.
     for ext in (".csv", ".txt", ".data"):
         tpath = os.path.join(data_dir, f"{name}{ext}")
         if os.path.exists(tpath):
             from . import native_loader
 
             table = native_loader.parse_table(tpath)
+            if name in TARGET_FIRST_COLUMN:
+                return table[:, 1:], table[:, :1], False
             return table[:, :-1], table[:, -1:], False
     if name in UCI_REGISTRY:
         n, d = UCI_REGISTRY[name]

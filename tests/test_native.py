@@ -98,3 +98,20 @@ class TestNumpyParity:
         C = C[np.argsort(C[:, 0])]
         np.testing.assert_allclose(C[0], [0, 0], atol=0.5)
         np.testing.assert_allclose(C[1], [10, 10], atol=0.5)
+
+    def test_year_target_first_column(self, tmp_path):
+        """YearPredictionMSD layout: target in the FIRST column."""
+        import numpy as np
+
+        from dgps_with_iwvi_tpu.data import get_regression_data
+
+        rng = np.random.RandomState(5)
+        y = rng.randn(30, 1) * 10 + 2000
+        X = rng.randn(30, 4)
+        np.savetxt(tmp_path / "year.csv", np.hstack([y, X]), delimiter=",")
+        d = get_regression_data("year", 0, data_dir=str(tmp_path))
+        assert not d.synthetic
+        assert d.X_train.shape[1] == 4
+        # un-standardized train targets should recover the ~2000 scale
+        raw = d.Y_train * d.Y_std + d.Y_mean
+        assert 1950 < float(raw.mean()) < 2050
