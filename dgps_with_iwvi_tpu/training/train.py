@@ -39,6 +39,12 @@ from . import natgrad as ng
 class TrainConfig:
     lr: float = 5e-3
     gamma: float = 1e-2
+    # linear warm-up of the natgrad step size from gamma_start over
+    # gamma_warmup steps (0 = constant gamma). SURVEY.md §2.7 notes the
+    # reference's too-large-gamma cholesky failure mode; warm-up is the
+    # standard mitigation.
+    gamma_start: float = 1e-4
+    gamma_warmup: int = 0
     natgrad: str = "none"          # 'none' | 'final' | 'all'
     schedule: str = "joint"        # 'joint' | 'alternating'
     minibatch_size: int = 512
@@ -104,14 +110,21 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
         idx = jax.random.randint(key, (tc.minibatch_size,), 0, N)
         return jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0), idx
 
+    def _gamma(step):
+        if tc.gamma_warmup <= 0:
+            return tc.gamma
+        frac = jnp.clip(step / tc.gamma_warmup, 0.0, 1.0)
+        return tc.gamma_start + (tc.gamma - tc.gamma_start) * frac
+
     def step_fn(state: TrainState, X, Y, key):
         kb1, kb2, ke1, ke2 = jax.random.split(key, 4)
+        gamma = _gamma(state.step)
         xb, yb, idx = _minibatch(X, Y, kb1)
         if layer_ids and tc.schedule == "alternating":
             # reference schedule: natgrad on batch 1, Adam on batch 2
             g_nat = jax.grad(loss_fn, argnums=0)(
                 state.natvars, state.rest, xb, yb, idx, ke1)
-            natvars = ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+            natvars = ng.natgrad_update(state.natvars, g_nat, gamma)
             xb2, yb2, idx2 = _minibatch(X, Y, kb2)
             loss, g_rest = jax.value_and_grad(loss_fn, argnums=1)(
                 natvars, state.rest, xb2, yb2, idx2, ke2)
@@ -121,7 +134,7 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
             loss, (g_nat, g_rest) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1))(state.natvars, state.rest, xb, yb,
                                          idx, ke1)
-            natvars = ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+            natvars = ng.natgrad_update(state.natvars, g_nat, gamma)
             updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
             rest = optax.apply_updates(state.rest, updates)
         else:

@@ -55,6 +55,8 @@ def parse_args(argv=None):
     p.add_argument("--iterations", type=int, default=20000)
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--gamma", type=float, default=1e-2)
+    p.add_argument("--gamma_warmup", type=int, default=0,
+                   help="linear natgrad step-size warm-up over N steps")
     p.add_argument("--natgrad", default="final", choices=["final", "all", "none"])
     p.add_argument("--schedule", default="joint", choices=["joint", "alternating"])
     p.add_argument("--d_w", type=int, default=1, help="latent dim per LV layer")
@@ -124,7 +126,8 @@ def run(args) -> dict:
             last_ckpt[0] = step
 
     tc = TrainConfig(
-        lr=args.lr, gamma=args.gamma, natgrad=args.natgrad,
+        lr=args.lr, gamma=args.gamma, gamma_warmup=args.gamma_warmup,
+        natgrad=args.natgrad,
         schedule=args.schedule, minibatch_size=args.minibatch_size,
         iterations=args.iterations, steps_per_call=args.steps_per_call)
     state0 = None

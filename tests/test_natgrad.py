@@ -168,3 +168,41 @@ class TestTrainer:
                 lambda k: elbo(trained, cfg, X, Y, k))(keys[16:32])))
             assert after > before + 1.0, (schedule, before, after)
             assert int(state.step) == 150
+
+
+class TestGammaWarmup:
+    def test_warmup_schedule_trains_stably(self):
+        """Linear gamma warm-up: runs, improves, and the early steps use a
+        small effective step (no big first-step jump in q_S)."""
+        kx, ky = jax.random.split(KEY)
+        X = jax.random.normal(kx, (64, 3), jnp.float64)
+        Y = jnp.sin(2 * X[:, :1]) + 0.05 * jax.random.normal(ky, (64, 1), jnp.float64)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
+                                  mean_function="zero", final=True),),
+            num_data=64, objective="vi")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        import numpy as np
+        from dgps_with_iwvi_tpu.training import make_trainer
+
+        S0 = np.asarray(extract_natvars(params, (0,))[0]["q_S"])
+        deltas = {}
+        for warmup in (0, 200):
+            tc = TrainConfig(lr=1e-2, gamma=0.5, gamma_start=1e-4,
+                             gamma_warmup=warmup, natgrad="final",
+                             minibatch_size=64, iterations=1, steps_per_call=1)
+            init_fn, step_fn, _, _ = make_trainer(cfg, tc)
+            st, _ = jax.jit(step_fn)(init_fn(params), X, Y, jax.random.PRNGKey(2))
+            deltas[warmup] = float(
+                np.abs(np.asarray(st.natvars[0]["q_S"]) - S0).max())
+        # warm-up's first step uses gamma_start=1e-4 instead of gamma=0.5:
+        # the q_S move must be far smaller than the full-gamma step's
+        assert deltas[200] < deltas[0] / 20, deltas
+        # and a full warm-up run still improves the bound
+        tc = TrainConfig(lr=1e-2, gamma=0.1, gamma_warmup=100,
+                         natgrad="final", minibatch_size=64,
+                         iterations=200, steps_per_call=50)
+        before = float(elbo(params, cfg, X, Y, KEY))
+        trained, _ = fit(KEY, cfg, params, X, Y, tc)
+        after = float(elbo(trained, cfg, X, Y, KEY))
+        assert after > before + 1.0, (before, after)
