@@ -26,7 +26,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-# name -> (N, D) of the real UCI regression suite (bb conventions)
+# name -> (N, D) of the real UCI regression suite (bb conventions). D is the
+# RAW feature count as staged; ingest may drop constant columns (naval).
 UCI_REGISTRY: Dict[str, Tuple[int, int]] = {
     "boston": (506, 13),
     "concrete": (1030, 8),
@@ -40,8 +41,68 @@ UCI_REGISTRY: Dict[str, Tuple[int, int]] = {
     "year": (515345, 90),
 }
 
-# raw-text datasets whose target is the FIRST column (UCI file layouts)
-TARGET_FIRST_COLUMN = {"year"}
+
+@dataclasses.dataclass(frozen=True)
+class IngestSpec:
+    """Per-dataset raw-file conventions (bb:bayesian_benchmarks/data.py).
+
+    The UCI files are NOT uniformly 'last column is the target': protein's
+    target (RMSD) is the FIRST column, energy ships TWO targets (bb keeps
+    only Y1 = heating load), naval has two trailing targets (bb keeps the
+    first, compressor decay) plus constant feature columns to drop, wine_red
+    is ';'-delimited with a header row, year's target is the first column.
+    Loading a staged file with the generic rule would silently train on the
+    wrong target, so each dataset pins its layout here and the loader
+    REFUSES files whose column count doesn't match (no guessing).
+    """
+
+    expect_cols: int          # total columns in the raw table (targets incl.)
+    target: str = "last"      # 'last' | 'first': where the target block sits
+    n_targets: int = 1        # size of the target block
+    use_target: int = 0       # which column of the block is THE target
+    drop_constant: bool = False  # drop zero-variance feature columns (naval)
+
+
+# bb:bayesian_benchmarks/data.py per-dataset classes, re-expressed as specs.
+# Excel-shipped sets (concrete/energy/power) must be staged as CSV (values,
+# with or without a header row — headers are auto-skipped).
+UCI_INGEST: Dict[str, IngestSpec] = {
+    "boston": IngestSpec(expect_cols=14),               # housing.data, MEDV last
+    "concrete": IngestSpec(expect_cols=9),              # strength last
+    "energy": IngestSpec(expect_cols=10, n_targets=2),  # Y1 heating (not Y2)
+    "kin8nm": IngestSpec(expect_cols=9),                # openml csv, y last
+    "naval": IngestSpec(expect_cols=18, n_targets=2,    # compressor decay;
+                        drop_constant=True),            # cols 8/11 constant
+    "power": IngestSpec(expect_cols=5),                 # PE last
+    "protein": IngestSpec(expect_cols=10, target="first"),  # CASP.csv, RMSD
+    "wine_red": IngestSpec(expect_cols=12),             # ';' + header, quality
+    "yacht": IngestSpec(expect_cols=7),                 # resistance last
+    "year": IngestSpec(expect_cols=91, target="first"),  # YearPredictionMSD
+}
+
+
+def ingest_table(name: str, table) -> tuple[np.ndarray, np.ndarray]:
+    """Split a parsed raw table into (X, Y) per the dataset's IngestSpec."""
+    spec = UCI_INGEST.get(name)
+    if spec is None:  # unknown dataset: generic last-column rule
+        return table[:, :-1], table[:, -1:]
+    if table.shape[1] != spec.expect_cols:
+        raise ValueError(
+            f"dataset {name!r}: staged file has {table.shape[1]} columns, "
+            f"expected {spec.expect_cols} "
+            f"({spec.n_targets} target(s) {spec.target}). Refusing to guess "
+            f"the target column — check the staged file's format.")
+    if spec.target == "first":
+        Y = table[:, spec.use_target:spec.use_target + 1]
+        X = table[:, spec.n_targets:]
+    else:
+        k = table.shape[1] - spec.n_targets
+        Y = table[:, k + spec.use_target:k + spec.use_target + 1]
+        X = table[:, :k]
+    if spec.drop_constant:
+        keep = X.std(0) > 0.0
+        X = X[:, keep]
+    return X, Y
 
 DEFAULT_DATA_DIR = os.environ.get(
     "DGP_DATA_DIR", os.path.join(os.path.expanduser("~"), ".dgp_data"))
@@ -102,17 +163,15 @@ def _load_raw(name: str, data_dir: str) -> tuple[np.ndarray, np.ndarray, bool]:
         return X, Y, False
     # raw delimited text parsed by the native C++ loader
     # (native/src/dgp_data.cpp) — the fast path for year-scale files.
-    # Target column follows the UCI file conventions: FIRST column for
-    # YearPredictionMSD ('year'), LAST column otherwise.
+    # (X, Y) split follows the per-dataset UCI conventions in UCI_INGEST.
     for ext in (".csv", ".txt", ".data"):
         tpath = os.path.join(data_dir, f"{name}{ext}")
         if os.path.exists(tpath):
             from . import native_loader
 
             table = native_loader.parse_table(tpath)
-            if name in TARGET_FIRST_COLUMN:
-                return table[:, 1:], table[:, :1], False
-            return table[:, :-1], table[:, -1:], False
+            X, Y = ingest_table(name, table)
+            return X, Y, False
     if name in UCI_REGISTRY:
         n, d = UCI_REGISTRY[name]
         X, Y = _synthetic_regression(name, n, d)

@@ -59,11 +59,34 @@ def native_available() -> bool:
     return load_library() is not None
 
 
+def _parse_table_numpy(path: str) -> np.ndarray:
+    """Pure-python fallback matching dgp_parse_table semantics: any of
+    ',;\\t ' delimits, '#'/blank lines skipped, leading header lines (the
+    UCI wine/protein/kin8nm CSVs) skipped until the first numeric row."""
+    rows: list[list[float]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            toks = line.replace(",", " ").replace(";", " ").split()
+            try:
+                vals = [float(t) for t in toks]
+            except ValueError:
+                if not rows:  # header line before any data
+                    continue
+                raise
+            rows.append(vals)
+    if rows and any(len(r) != len(rows[0]) for r in rows):
+        raise ValueError(f"{path}: ragged rows")
+    return np.asarray(rows, np.float64).reshape(len(rows), -1)
+
+
 def parse_table(path: str) -> np.ndarray:
     """Parse a delimited numeric text file -> [n, d] float64 array."""
     lib = load_library()
     if lib is None:
-        return np.loadtxt(path, delimiter=None, comments="#", ndmin=2)
+        return _parse_table_numpy(path)
     out = _pd()
     rows, cols = _i64(), _i64()
     rc = lib.dgp_parse_table(path.encode(), ctypes.byref(out),

@@ -26,7 +26,8 @@ from ..models import dgp
 from ..models.layers import LatentVarMode
 from ..ops import likelihoods
 from ..training import natgrad as ng
-from ..training.train import TrainConfig, TrainState, _merge_params, _split_params
+from ..training.train import (TrainConfig, TrainState, _merge_params,
+                              _split_params, gamma_schedule)
 
 
 def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
@@ -77,6 +78,19 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
     return (-(scale * (datafit - local_kl_term)) / n_k + kl / P_total)
 
 
+def global_row_ids(i_dp, idx, N_local: int, num_data: int):
+    """Map per-shard minibatch indices to GLOBAL dataset row ids.
+
+    Shards are contiguous chunks along axis 0 (see shard_arrays), padded to a
+    multiple of n_dp by appending copies of the HEAD rows; padded global
+    positions g in [num_data, num_data + rem) alias source rows
+    g - num_data, which is what the modulo maps them back to. Without it,
+    padded rows would jnp.take-clamp to the LAST row's per-datapoint q(w)
+    parameters in non-amortized LV layers — silently wrong.
+    """
+    return (i_dp * N_local + idx) % num_data
+
+
 def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
     """Sharded (init_fn, step_fn, chunk_fn, params_fn).
 
@@ -115,8 +129,7 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
                                  (B_local,), 0, N_local)
         xb = jnp.take(Xl, idx, axis=0)
         yb = jnp.take(Yl, idx, axis=0)
-        # global dataset row ids (shards are contiguous chunks along axis 0)
-        gidx = i_dp * N_local + idx
+        gidx = global_row_ids(i_dp, idx, N_local, config.num_data)
         # sample keys: distinct per (dp, k)
         kloc = jax.random.fold_in(jax.random.fold_in(ke, i_dp), i_k)
         loss, (g_nat, g_rest) = jax.value_and_grad(
@@ -135,17 +148,18 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
     )
 
     def step_fn(state: TrainState, X, Y, key):
+        gamma = gamma_schedule(tc, state.step)
         if layer_ids and tc.schedule == "alternating":
             # reference schedule: natgrad on one sharded minibatch, Adam on
             # a fresh one (two psum'd passes)
             k1, k2 = jax.random.split(key)
             _, g_nat, _ = grads_sharded(state.natvars, state.rest, X, Y, k1)
-            natvars = ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+            natvars = ng.natgrad_update(state.natvars, g_nat, gamma)
             loss, _, g_rest = grads_sharded(natvars, state.rest, X, Y, k2)
         else:
             loss, g_nat, g_rest = grads_sharded(
                 state.natvars, state.rest, X, Y, key)
-            natvars = (ng.natgrad_update(state.natvars, g_nat, tc.gamma)
+            natvars = (ng.natgrad_update(state.natvars, g_nat, gamma)
                        if layer_ids else state.natvars)
         updates, opt_state = adam.update(g_rest, state.opt_state, state.rest)
         rest = optax.apply_updates(state.rest, updates)

@@ -124,7 +124,12 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         S_new = cho_solve(Lp, jnp.broadcast_to(eye, S.shape))
         S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
         m_new = jnp.swapaxes((S_new @ theta1_new)[..., 0], 0, 1)  # [M, D]
-        new.append({"q_mu": m_new, "q_S": S_new, "q_Sinv": P})
+        # carry the ACTUALLY-factorized precision Lp Lp^T (== P except when
+        # the jitter rescue escalated, where P alone would drift from
+        # S_new^-1 and the mismatch would persist across all later steps)
+        P_eff = Lp @ jnp.swapaxes(Lp, -1, -2)
+        new.append({"q_mu": m_new, "q_S": S_new,
+                    "q_Sinv": 0.5 * (P_eff + jnp.swapaxes(P_eff, -1, -2))})
     return new
 
 

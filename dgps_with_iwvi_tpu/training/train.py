@@ -52,6 +52,16 @@ class TrainConfig:
     steps_per_call: int = 100
 
 
+def gamma_schedule(tc: "TrainConfig", step):
+    """Natgrad step size at `step`: linear warm-up from gamma_start to gamma
+    over gamma_warmup steps (constant gamma when warmup is 0). Shared by the
+    single-device and sharded trainers so both honor TrainConfig identically."""
+    if tc.gamma_warmup <= 0:
+        return tc.gamma
+    frac = jnp.clip(step / tc.gamma_warmup, 0.0, 1.0)
+    return tc.gamma_start + (tc.gamma - tc.gamma_start) * frac
+
+
 class TrainState(NamedTuple):
     rest: Any        # params minus natgrad (q_mu, q_sqrt) blocks
     natvars: Any     # [(m, S)] blocks for natgrad layers (possibly empty)
@@ -110,15 +120,9 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
         idx = jax.random.randint(key, (tc.minibatch_size,), 0, N)
         return jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0), idx
 
-    def _gamma(step):
-        if tc.gamma_warmup <= 0:
-            return tc.gamma
-        frac = jnp.clip(step / tc.gamma_warmup, 0.0, 1.0)
-        return tc.gamma_start + (tc.gamma - tc.gamma_start) * frac
-
     def step_fn(state: TrainState, X, Y, key):
         kb1, kb2, ke1, ke2 = jax.random.split(key, 4)
-        gamma = _gamma(state.step)
+        gamma = gamma_schedule(tc, state.step)
         xb, yb, idx = _minibatch(X, Y, kb1)
         if layer_ids and tc.schedule == "alternating":
             # reference schedule: natgrad on batch 1, Adam on batch 2

@@ -66,7 +66,8 @@ def parse_args(argv=None):
                    choices=["gaussian", "bernoulli"])
     p.add_argument("--pallas", default="auto",
                    choices=["auto", "on", "off"],
-                   help="fused Pallas conditional kernels (auto: M >= 256)")
+                   help="fused Pallas conditional kernels (auto: measured "
+                        "per-shape dispatch; see ops/conditionals.py)")
     p.add_argument("--non_amortized", action="store_true",
                    help="per-datapoint q(w) instead of the encoder (small N)")
     p.add_argument("--no_white", action="store_true",

@@ -71,9 +71,12 @@ static inline uint64_t bounded(Xoshiro* g, uint64_t n) {
 
 // -------------------------------------------------------------- parsing ----
 // Parse a delimited numeric table. Any of ",;\t " delimits; blank lines and
-// lines starting with '#' are skipped. Returns 0 on success.
-// On success *out is malloc'd row-major [*n_rows x *n_cols]; caller frees
-// via dgp_free. A ragged row -> error 3. Non-numeric field -> error 4.
+// lines starting with '#' are skipped. Leading non-numeric lines (column
+// headers, as in the UCI wine/protein/kin8nm CSVs) are skipped until the
+// first fully-numeric row; after that a non-numeric field is an error.
+// Returns 0 on success. On success *out is malloc'd row-major
+// [*n_rows x *n_cols]; caller frees via dgp_free. A ragged row -> error 3.
+// Non-numeric field after data started -> error 4.
 int dgp_parse_table(const char* path, double** out, int64_t* n_rows,
                     int64_t* n_cols) {
   FILE* f = fopen(path, "rb");
@@ -104,10 +107,19 @@ int dgp_parse_table(const char* path, double** out, int64_t* n_rows,
     while (*q == ' ' || *q == '\t' || *q == '\r') q++;
     if (*q != '\0' && *q != '#') {
       int64_t c = 0;
+      size_t line_start = vals.size();
+      bool bad = false;
       while (*q != '\0') {
         char* next = nullptr;
         double v = strtod(q, &next);
-        if (next == q) return 4;
+        if (next == q) {
+          if (rows == 0) {  // header line before any data: skip it
+            vals.resize(line_start);
+            bad = true;
+            break;
+          }
+          return 4;
+        }
         vals.push_back(v);
         c++;
         q = next;
@@ -115,9 +127,11 @@ int dgp_parse_table(const char* path, double** out, int64_t* n_rows,
                *q == '\r')
           q++;
       }
-      if (cols < 0) cols = c;
-      else if (c != cols) return 3;
-      rows++;
+      if (!bad) {
+        if (cols < 0) cols = c;
+        else if (c != cols) return 3;
+        rows++;
+      }
     }
     p = line_end + 1;
   }

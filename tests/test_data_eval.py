@@ -52,6 +52,85 @@ class TestData:
             get_regression_data("nope", data_dir=str(tmp_path))
 
 
+class TestUCIIngest:
+    """Per-dataset raw-file conventions (bb:bayesian_benchmarks/data.py):
+    each checked-in miniature fixture mimics the REAL file's format (header
+    rows, ';' delimiters, dual targets, constant columns, first-column
+    targets); targets are hand-coded as 1000+row so a wrong target column is
+    caught immediately."""
+
+    FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    # name -> (file, expected D after ingest)
+    CASES = {
+        "boston": ("boston.data", 13),
+        "concrete": ("concrete.csv", 8),
+        "energy": ("energy.csv", 8),
+        "kin8nm": ("kin8nm.csv", 8),
+        "naval": ("naval.txt", 14),      # 16 raw - 2 constant columns
+        "power": ("power.csv", 4),
+        "protein": ("protein.csv", 9),
+        "wine_red": ("wine_red.csv", 11),
+        "yacht": ("yacht.data", 6),
+        "year": ("year.txt", 90),
+    }
+
+    def _load(self, name):
+        from dgps_with_iwvi_tpu.data.datasets import _load_raw
+
+        return _load_raw(name, self.FIXTURES)
+
+    def test_every_dataset_target_column(self):
+        for name, (fname, d_expect) in self.CASES.items():
+            X, Y, synthetic = self._load(name)
+            assert not synthetic, name
+            assert X.shape == (5, d_expect), (name, X.shape)
+            assert Y.shape == (5, 1), (name, Y.shape)
+            # fixture targets are 1000+row; decoys (second targets) are -999
+            np.testing.assert_array_equal(
+                Y[:, 0], 1000.0 + np.arange(5), err_msg=name)
+            assert not np.any(X == -999.0), f"{name}: dropped target leaked into X"
+
+    def test_naval_constant_columns_dropped(self):
+        X, _, _ = self._load("naval")
+        assert np.all(X.std(0) > 0), "constant columns must be dropped"
+
+    def test_energy_uses_heating_not_cooling(self):
+        X, Y, _ = self._load("energy")
+        assert np.all(Y != -999.0)  # -999 is the cooling-load decoy
+
+    def test_wrong_column_count_refused(self, tmp_path):
+        import pytest
+        from dgps_with_iwvi_tpu.data.datasets import _load_raw
+
+        # a 'protein' file with one missing column must be REFUSED, not
+        # silently re-split (fake-parity guard)
+        bad = "\n".join(
+            ",".join(str(float(j)) for j in range(9)) for _ in range(4))
+        (tmp_path / "protein.csv").write_text(bad + "\n")
+        with pytest.raises(ValueError, match="Refusing to guess"):
+            _load_raw("protein", str(tmp_path))
+
+    def test_header_skipped_identically_in_both_parsers(self):
+        from dgps_with_iwvi_tpu.data import native_loader
+
+        path = os.path.join(self.FIXTURES, "wine_red.csv")
+        a = native_loader._parse_table_numpy(path)
+        if native_loader.native_available():
+            b = native_loader.parse_table(path)
+            np.testing.assert_array_equal(a, b)
+        assert a.shape == (5, 12)
+
+    def test_end_to_end_through_get_regression_data(self):
+        d = get_regression_data("protein", 0, data_dir=self.FIXTURES,
+                                dtype=np.float64)
+        assert not d.synthetic
+        assert d.X_train.shape[1] == 9
+        # un-standardized targets recover the 1000+row fixture values
+        y_orig = d.Y_train * d.Y_std + d.Y_mean
+        assert set(np.round(y_orig[:, 0]).astype(int)) <= set(range(1000, 1005))
+
+
 class TestEvaluate:
     def test_unnormalization_and_padding(self):
         key = jax.random.PRNGKey(0)

@@ -113,6 +113,53 @@ class TestConjugateExactness:
         assert all(b <= a + 1e-10 for a, b in zip(vals[:-1], vals[1:])), vals
 
 
+class TestCarriedPrecision:
+    """The state carries S^-1; it must stay the exact inverse of q_S, even
+    when the precision Cholesky's jitter rescue escalates (ADVICE r1)."""
+
+    def test_invariant_over_steps(self):
+        cfg, params, X, Y, Z = _svgp_setup()
+        layer_ids = natgrad_layer_ids(cfg, "final")
+        natvars = extract_natvars(params, layer_ids)
+
+        def loss(nv):
+            return -elbo(insert_natvars(params, nv, layer_ids), cfg, X, Y, KEY)
+
+        for _ in range(4):
+            g = jax.grad(loss)(natvars)
+            natvars = natgrad_update(natvars, g, gamma=0.4)
+            S = np.asarray(natvars[0]["q_S"][0])
+            Sinv = np.asarray(natvars[0]["q_Sinv"][0])
+            np.testing.assert_allclose(Sinv @ S, np.eye(S.shape[0]),
+                                       atol=1e-8)
+
+    def test_rescue_keeps_inverse_consistent(self):
+        """Craft a natgrad step whose new precision P is indefinite at the
+        base jitter but PD one escalation up: the carried q_Sinv must equal
+        the inverse of q_S (i.e. the FACTORIZED precision, not raw P)."""
+        m = 6
+        rng = np.random.RandomState(0)
+        Q, _ = np.linalg.qr(rng.randn(m, m))
+        evals = np.array([1.0, 0.5, 0.2, 0.1, 0.05, -5e-12])
+        P = Q @ np.diag(evals) @ Q.T        # fails chol at +1e-12, ok at +1e-11
+        P = 0.5 * (P + P.T)
+        # with S = Sinv = I and gamma = 0.5: P_new = I + 2*0.5*H = I + H
+        H = jnp.asarray(P - np.eye(m), jnp.float64)[None]
+        eye = jnp.eye(m, dtype=jnp.float64)[None]
+        nv = [{"q_mu": jnp.zeros((m, 1), jnp.float64), "q_S": eye,
+               "q_Sinv": eye}]
+        g = [{"q_mu": jnp.zeros((m, 1), jnp.float64), "q_S": H}]
+        new = natgrad_update(nv, g, gamma=0.5)
+        S = np.asarray(new[0]["q_S"][0])
+        Sinv = np.asarray(new[0]["q_Sinv"][0])
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(Sinv))
+        # cond(P_eff) ~ 2e11 here, so f64 roundoff alone leaves ~5e-6;
+        # the pre-fix drift (carrying raw P) would be O(1)
+        np.testing.assert_allclose(Sinv @ S, np.eye(m), atol=1e-4)
+        # and the escalation really happened: carried precision != raw P_new
+        assert np.abs(Sinv - np.asarray(jnp.eye(m) + H[0])).max() > 1e-12
+
+
 class TestTrainer:
     def _data(self, n=64, d=3):
         kx, ky = jax.random.split(KEY)

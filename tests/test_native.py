@@ -107,11 +107,11 @@ class TestNumpyParity:
 
         rng = np.random.RandomState(5)
         y = rng.randn(30, 1) * 10 + 2000
-        X = rng.randn(30, 4)
+        X = rng.randn(30, 90)  # the real file has 90 timbre features
         np.savetxt(tmp_path / "year.csv", np.hstack([y, X]), delimiter=",")
         d = get_regression_data("year", 0, data_dir=str(tmp_path))
         assert not d.synthetic
-        assert d.X_train.shape[1] == 4
+        assert d.X_train.shape[1] == 90
         # un-standardized train targets should recover the ~2000 scale
         raw = d.Y_train * d.Y_std + d.Y_mean
         assert 1950 < float(raw.mean()) < 2050

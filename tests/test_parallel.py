@@ -154,6 +154,101 @@ class TestShardedParity:
         with pytest.raises(AssertionError):
             make_parallel_trainer(cfg, TrainConfig(), mesh)
 
+    def test_sharded_gamma_warmup_matches_single_device_schedule(self):
+        """At step 0 with warm-up on, the sharded natgrad step must use
+        gamma_start (not full gamma) — regression for the silently-ignored
+        TrainConfig.gamma_warmup in the parallel trainer."""
+        n_dp, n_k = 4, 2
+        mesh = make_mesh(n_dp, n_k)
+        X, Y = _data(n=128)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
+                                  mean_function="zero", final=True),),
+            num_data=X.shape[0], objective="vi")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        skey = jax.random.PRNGKey(123)
+        deltas = {}
+        natvars0 = _split_params(params, (0,))[0]
+        S0 = np.asarray(natvars0[0]["q_S"])
+        for warmup in (0, 500):
+            tc = TrainConfig(lr=1e-2, gamma=0.5, gamma_start=1e-4,
+                             gamma_warmup=warmup, natgrad="final",
+                             minibatch_size=32, iterations=1, steps_per_call=1)
+            init_fn, step_fn, _, _ = make_parallel_trainer(cfg, tc, mesh)
+            state = replicate(mesh, init_fn(params))
+            Xs, Ys = shard_arrays(mesh, X, Y)
+            new_state, _ = jax.jit(step_fn)(state, Xs, Ys, skey)
+            deltas[warmup] = float(
+                np.abs(np.asarray(new_state.natvars[0]["q_S"]) - S0).max())
+        assert deltas[500] < deltas[0] / 20, deltas
+
+        # exactness: warm-up step == natgrad_update at gamma_start on the
+        # same global batch
+        from dgps_with_iwvi_tpu.training import natgrad as ng
+        xb, yb = _expected_global_batch(X, Y, n_dp, 32 // n_dp, skey)
+
+        def ref_loss(nv):
+            p = _merge_params(_split_params(params, (0,))[1], nv, (0,))
+            return -elbo(p, cfg, xb, yb, KEY)
+
+        g_nat = jax.grad(ref_loss)(natvars0)
+        nv_ref = ng.natgrad_update(natvars0, g_nat, 1e-4)
+        tc = TrainConfig(lr=1e-2, gamma=0.5, gamma_start=1e-4,
+                         gamma_warmup=500, natgrad="final",
+                         minibatch_size=32, iterations=1, steps_per_call=1)
+        init_fn, step_fn, _, _ = make_parallel_trainer(cfg, tc, mesh)
+        state = replicate(mesh, init_fn(params))
+        Xs, Ys = shard_arrays(mesh, X, Y)
+        new_state, _ = jax.jit(step_fn)(state, Xs, Ys, skey)
+        # psum reduction order vs the host-side sum leaves ~1e-9 absolute;
+        # the semantic check (gamma_start=1e-4, not gamma=0.5 — a 5000x
+        # difference in the update) is far above that
+        np.testing.assert_allclose(
+            np.asarray(new_state.natvars[0]["q_S"]),
+            np.asarray(nv_ref[0]["q_S"]), rtol=1e-6, atol=1e-8)
+
+    def test_global_row_ids_map_padded_rows_to_sources(self):
+        """Padded shard positions alias HEAD rows, not the clamped last row."""
+        from dgps_with_iwvi_tpu.parallel.sharding import global_row_ids
+
+        num_data, n_dp = 126, 4          # padded to 128, N_local = 32
+        N_local = 32
+        idx = jnp.arange(N_local)
+        got = np.asarray(global_row_ids(3, idx, N_local, num_data))
+        # last shard covers global positions 96..127; 126 -> 0, 127 -> 1
+        expect = np.concatenate([np.arange(96, 126), [0, 1]])
+        np.testing.assert_array_equal(got, expect)
+        # all shards: every id in range, sources covered exactly
+        ids = np.concatenate([
+            np.asarray(global_row_ids(i, idx, N_local, num_data))
+            for i in range(n_dp)])
+        assert ids.min() >= 0 and ids.max() < num_data
+
+    def test_sharded_nonamortized_lv_with_padding(self):
+        """Non-amortized LV model, N not divisible by n_dp: trains finitely
+        and every per-datapoint q(w) row it touches is a real row."""
+        mesh = make_mesh(4, 2)
+        X, Y = _data(n=126, d=3)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=3, d_y=1, amortized=False,
+                              num_data=126),
+                GPLayerConfig(d_in=4, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=126, objective="iw", num_iw_samples=4)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        tc = TrainConfig(lr=1e-2, gamma=0.05, natgrad="final",
+                         minibatch_size=32, iterations=20, steps_per_call=10)
+        init_fn, _, chunk_fn, params_fn = make_parallel_trainer(cfg, tc, mesh)
+        state = replicate(mesh, init_fn(params))
+        Xs, Ys = shard_arrays(mesh, X, Y)
+        cj = jax.jit(chunk_fn)
+        state, l1 = cj(state, Xs, Ys, jax.random.PRNGKey(1))
+        state, l2 = cj(state, Xs, Ys, jax.random.PRNGKey(2))
+        assert float(jnp.mean(l2)) < float(jnp.mean(l1))
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree.leaves(params_fn(state)))
+
     def test_sharded_alternating_schedule(self):
         """The reference's two-pass natgrad/Adam schedule also works sharded."""
         mesh = make_mesh(4, 2)
