@@ -4,7 +4,8 @@ TPU-native rebuild of ref:dgps_with_iwvi/{layers,models}.py and
 ref:experiments/models.py.
 """
 
-from .builder import BuildArgs, build_config, build_model, kmeans_centers
+from .builder import (BuildArgs, build_config, build_model,
+                      kmeans_centers, parse_prior_flag)
 from .dgp import (
     DGPConfig,
     elbo,
@@ -26,6 +27,7 @@ __all__ = [
     "LatentVarMode",
     "build_config",
     "build_model",
+    "parse_prior_flag",
     "elbo",
     "gp_kls",
     "init_dgp",

@@ -43,6 +43,26 @@ class BuildArgs:
     jitter_tries: int = 4
     white: bool = True          # whitened parameterization (reference default)
     q_diag: bool = False        # diagonal q(u) covariance (Adam-only)
+    # hyperparameter priors: tuple of (path_suffix, kind, a, b) specs
+    # (see ops/priors.py); () = off, matching the reference defaults
+    priors: tuple = ()
+
+
+# friendly prior-target names -> parameter-path suffixes (ops/priors.py)
+PRIOR_TARGETS = {
+    "kernel_variance": "kernel/raw_variance",
+    "lengthscales": "kernel/raw_lengthscales",
+    "noise_variance": "raw_noise_variance",
+}
+
+
+def parse_prior_flag(spec: str) -> tuple:
+    """'kernel_variance=gamma(2,3)' -> ('kernel/raw_variance','gamma',2.,3.)"""
+    target, _, dist = spec.partition("=")
+    kind, _, args = dist.partition("(")
+    a, b = (float(v) for v in args.rstrip(")").split(","))
+    suffix = PRIOR_TARGETS.get(target.strip(), target.strip())
+    return (suffix, kind.strip(), a, b)
 
 
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
@@ -114,6 +134,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         use_pallas=args.use_pallas,
         likelihood=args.likelihood,
         jitter_tries=args.jitter_tries,
+        priors=tuple(args.priors),
     )
 
 

@@ -32,7 +32,7 @@ from typing import Any, Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops import likelihoods, linalg
+from ..ops import likelihoods, linalg, priors as priors_mod
 from .layers import (
     GPLayerConfig,
     LatentVarMode,
@@ -65,6 +65,10 @@ class DGPConfig:
     # Kuu jitter-escalation depth; 1 = single fixed-jitter factorization
     # (fastest, no rescue), 4 = default 10x escalation ladder
     jitter_tries: int = 4
+    # hyperparameter priors: static tuple of (path_suffix, kind, a, b) specs
+    # added to the objective as log_prior(params) — the reference's GPflow
+    # Model objective = likelihood + prior (SURVEY.md §2.2). Empty = off.
+    priors: tuple = ()
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")
@@ -175,6 +179,10 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
     model contains non-amortized LV layers."""
     B = X.shape[0]
     scale = config.num_data / B
+    # hyperparameter log-prior: a global (minibatch-independent) term added
+    # once, like the -KL terms (GPflow Model: objective = likelihood + prior)
+    lp = (priors_mod.log_prior(params, config.priors)
+          if config.priors else 0.0)
     if config.objective == "vi":
         S = config.num_samples
         fmean, fvar, _, local_kl = propagate(
@@ -184,7 +192,7 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
             params["likelihood"], fmean, fvar, Y,
             kind=config.likelihood)                        # [S, B]
         datafit = jnp.sum(jnp.mean(ve, axis=0) - local_kl)
-        return scale * datafit - gp_kls(params, config)
+        return scale * datafit - gp_kls(params, config) + lp
     # 'iw'
     K = config.num_iw_samples
     fmean, fvar, log_w, _ = propagate(
@@ -194,7 +202,7 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
         params["likelihood"], fmean, fvar, Y,
         kind=config.likelihood)                            # [K, B]
     iw = jax.nn.logsumexp(ve + log_w, axis=0) - jnp.log(float(K))  # [B]
-    return scale * jnp.sum(iw) - gp_kls(params, config)
+    return scale * jnp.sum(iw) - gp_kls(params, config) + lp
 
 
 def predict_f(params, config: DGPConfig, X: jax.Array, key: jax.Array,

@@ -33,6 +33,48 @@ def _chol_ok(L: jax.Array) -> jax.Array:
     return jnp.all(jnp.isfinite(diag) & (diag > 0), axis=(-1,))
 
 
+@jax.custom_vjp
+def _chol_reuse(A: jax.Array, L: jax.Array) -> jax.Array:
+    """Cholesky of A whose factor L is ALREADY KNOWN (a probe factorization
+    of the same values): forward returns L as-is; backward applies the
+    standard Cholesky pullback at L. Lets the jitter-rescue fast path pay
+    for exactly one factorization (the probe) while keeping gradients
+    identical to jnp.linalg.cholesky(A)."""
+    del A
+    return L
+
+
+def _chol_reuse_fwd(A, L):
+    del A
+    return L, L
+
+
+def _chol_reuse_bwd(L, L_bar):
+    # standard Cholesky reverse-mode (Murray 2016): with M = L^T L_bar,
+    # Phi(M) = tril(M) - 1/2 diag(M),  A_bar = L^-T Phi(M) L^-1, then
+    # symmetrized (A enters as a full unconstrained matrix here, matching
+    # jnp.linalg.cholesky's convention) — verified against jax.vjp in tests.
+    M = jnp.matmul(jnp.swapaxes(L, -1, -2), jnp.tril(L_bar),
+                   precision=jax.lax.Precision.HIGHEST)
+    phi = jnp.tril(M) - 0.5 * _diag_embed(jnp.diagonal(M, axis1=-2, axis2=-1))
+    # A_bar = L^-T phi L^-1: two triangular solves
+    tmp = lax.linalg.triangular_solve(L, phi, left_side=True, lower=True,
+                                      transpose_a=True)
+    A_bar = lax.linalg.triangular_solve(L, jnp.swapaxes(tmp, -1, -2),
+                                        left_side=True, lower=True,
+                                        transpose_a=True)
+    A_bar = jnp.swapaxes(A_bar, -1, -2)
+    A_bar = 0.5 * (A_bar + jnp.swapaxes(A_bar, -1, -2))
+    return A_bar, jnp.zeros_like(L)
+
+
+def _diag_embed(d: jax.Array) -> jax.Array:
+    return d[..., :, None] * jnp.eye(d.shape[-1], dtype=d.dtype)
+
+
+_chol_reuse.defvjp(_chol_reuse_fwd, _chol_reuse_bwd)
+
+
 @partial(jax.jit, static_argnames=("max_tries",))
 def cholesky_with_jitter(
     K: jax.Array,
@@ -41,49 +83,68 @@ def cholesky_with_jitter(
 ) -> jax.Array:
     """Cholesky of K + jitter*I with automatic 10x jitter escalation.
 
-    Two passes, both XLA-static: (1) a gradient-free SELECTION pass
-    factorizes at every escalation level and picks, per batch element, the
-    first usable level; (2) ONE differentiable Cholesky at the selected
-    jitter. Autodiff therefore never touches a failed factorization — a
-    garbage branch inside a jnp.where select would otherwise poison
-    gradients with 0 * Inf = NaN (observed on TPU with ill-conditioned
-    1-D RBF grams).
+    Rescue-on-failure design: the COMMON path is exactly ONE differentiable
+    Cholesky at the base jitter; only if any batch element's factor comes
+    back unusable does a lax.cond branch run the full escalation ladder —
+    a gradient-free SELECTION pass that factorizes every level as one
+    batched Cholesky and picks, per batch element, the first usable level,
+    followed by ONE differentiable Cholesky at the selected jitter. (The
+    TPU Cholesky custom-call serializes batch elements, so the ladder costs
+    ~max_tries factorizations — paying it every step taxed ~19% of the
+    flagship train step before this redesign; now it costs nothing unless a
+    factorization actually fails.)
+
+    Autodiff never touches a failed factorization: the rescue branch is
+    taken exactly when the fast factor is unusable, and inside it the
+    selection pass is stop-gradient'd — a garbage branch inside a jnp.where
+    select would otherwise poison gradients with 0 * Inf = NaN (observed on
+    TPU with ill-conditioned 1-D RBF grams).
 
     Semantics mirror the reference's Kuu construction
     (gpflow:gpflow/features.py Kuu = K(Z,Z) + jitter*I at jitter 1e-6), with
     escalation added because we run float32 on the MXU instead of float64 on
-    LAPACK.
+    LAPACK. The per-element selected jitter is identical to the previous
+    always-on selection pass (level 0 included in the ladder).
     """
     batch_shape = K.shape[:-2]
-    K_sel = jax.lax.stop_gradient(K)
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
 
     if max_tries == 1:
-        # fast path: fixed jitter, no selection factorizations (the TPU
-        # Cholesky custom-call serializes batch elements, so the selection
-        # pass costs ~max_tries extra factorizations per call). Profile-
-        # guided knob: set DGPConfig.jitter_tries=1 when inputs are known
-        # well-conditioned; a failed factorization then surfaces as NaNs
-        # instead of being rescued.
+        # fixed jitter, no rescue: a failed factorization surfaces as NaNs.
         return jnp.linalg.cholesky(add_jitter(K, jnp.asarray(jitter, K.dtype)))
 
-    # selection pass (no AD): factorize ALL escalation levels as ONE batched
-    # Cholesky — batch elements run in parallel on TPU, so selection costs
-    # about one factorization instead of max_tries sequential ones — and
-    # pick the smallest usable level per batch element.
-    jitters = jnp.asarray(
-        [jitter * (10.0 ** i) for i in range(max_tries)], K.dtype)
-    K_all = K_sel[None] + jitters.reshape(
-        (max_tries,) + (1,) * len(batch_shape) + (1, 1)) * eye
-    ok_all = _chol_ok(jnp.linalg.cholesky(K_all))  # [T, *batch]
-    # first ok level (argmax of bool picks the first True); if none ok,
-    # fall through to the largest jitter
-    any_ok = jnp.any(ok_all, axis=0)
-    level = jnp.where(any_ok, jnp.argmax(ok_all, axis=0), max_tries - 1)
-    jit_sel = jitter * (10.0 ** level.astype(K.dtype))   # [*batch]
+    # fast path: ONE probe factorization at the base jitter (no AD); its
+    # values are reused as the differentiable result via _chol_reuse, whose
+    # backward is the standard Cholesky pullback — so the common path costs
+    # exactly one factorization and its grads equal jnp.linalg.cholesky's.
+    # (The probe must be on stop_gradient(K): a failed factor that
+    # participated in AD would poison the backward pass with 0 * NaN even
+    # under a zero cotangent.)
+    Kj = add_jitter(K, jnp.asarray(jitter, K.dtype))
+    L_probe = jnp.linalg.cholesky(jax.lax.stop_gradient(Kj))
+    all_ok = jnp.all(_chol_ok(L_probe))
 
-    # single differentiable factorization at the selected jitter
-    return jnp.linalg.cholesky(K + jit_sel[..., None, None] * eye)
+    def _fast(_):
+        return _chol_reuse(Kj, L_probe)
+
+    def _rescue(_):
+        # selection pass (no AD): factorize ALL escalation levels as ONE
+        # batched Cholesky and pick the smallest usable level per element.
+        K_sel = jax.lax.stop_gradient(K)
+        jitters = jnp.asarray(
+            [jitter * (10.0 ** i) for i in range(max_tries)], K.dtype)
+        K_all = K_sel[None] + jitters.reshape(
+            (max_tries,) + (1,) * len(batch_shape) + (1, 1)) * eye
+        ok_all = _chol_ok(jnp.linalg.cholesky(K_all))  # [T, *batch]
+        # first ok level (argmax of bool picks the first True); if none ok,
+        # fall through to the largest jitter
+        any_ok = jnp.any(ok_all, axis=0)
+        level = jnp.where(any_ok, jnp.argmax(ok_all, axis=0), max_tries - 1)
+        jit_sel = jitter * (10.0 ** level.astype(K.dtype))   # [*batch]
+        # single differentiable factorization at the selected jitter
+        return jnp.linalg.cholesky(K + jit_sel[..., None, None] * eye)
+
+    return jax.lax.cond(all_ok, _fast, _rescue, None)
 
 
 def solve_triangular(L: jax.Array, B: jax.Array, *, lower: bool = True,

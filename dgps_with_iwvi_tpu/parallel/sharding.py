@@ -74,6 +74,12 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
         local_kl_term = jnp.sum(local_kl)
 
     kl = dgp.gp_kls(params, config)
+    # hyperparameter log-prior: global term, counted once per device -> /P
+    # (same bookkeeping as the KL so psum reproduces the single-device loss)
+    if config.priors:
+        from ..ops import priors as priors_mod
+
+        kl = kl - priors_mod.log_prior(params, config.priors)
     # datafit counted once per k-replica -> /n_k; KL once per device -> /P
     return (-(scale * (datafit - local_kl_term)) / n_k + kl / P_total)
 

@@ -1,10 +1,11 @@
 """Training monitor: periodic timings/ELBO prints + optional TensorBoard.
 
 TPU-native rebuild of gpflow:gpflow/training/monitor.py's task model
-(PrintTimingsTask / ScalarFuncToTensorBoardTask — SURVEY.md §5) reduced to
-what the harness actually used: steps/sec + objective on a cadence, scalars
-to TensorBoard when a writer is available. steps/sec is the north-star
-metric (BASELINE.md), so it is measured here, not ad hoc.
+(PrintTimingsTask / ScalarFuncToTensorBoardTask / ModelToTensorBoardTask —
+SURVEY.md §5): steps/sec + objective on a cadence, plus model
+hyperparameters (kernel variance/lengthscales, likelihood noise, natgrad
+gamma) as TensorBoard scalars when a writer is available. steps/sec is the
+north-star metric (BASELINE.md), so it is measured here, not ad hoc.
 """
 
 from __future__ import annotations
@@ -13,11 +14,49 @@ import time
 from typing import Callable
 
 
+def hyperparameter_scalars(rest, config, tc=None, step=None) -> dict:
+    """ModelToTensorBoardTask equivalent: named hyperparameter scalars.
+
+    ``rest`` is the non-natgrad parameter pytree (TrainState.rest — kernel
+    hypers, likelihood noise, encoder weights live there); ``config`` the
+    DGPConfig. One host transfer for the whole dict.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.layers import GPLayerConfig
+    from ..ops import kernels, likelihoods
+
+    out = {}
+    for i, cfg in enumerate(config.layers):
+        if not isinstance(cfg, GPLayerConfig):
+            continue
+        kp = rest["layers"][i]["kernel"]
+        ls = kernels.kernel_lengthscales(kp)
+        out[f"hypers/layer{i}/kernel_variance"] = kernels.kernel_variance(kp)
+        out[f"hypers/layer{i}/lengthscale_mean"] = jnp.mean(ls)
+        out[f"hypers/layer{i}/lengthscale_min"] = jnp.min(ls)
+        out[f"hypers/layer{i}/lengthscale_max"] = jnp.max(ls)
+    if config.likelihood == "gaussian":
+        out["hypers/likelihood_noise_variance"] = likelihoods.noise_variance(
+            rest["likelihood"])
+    if tc is not None and step is not None and tc.natgrad != "none":
+        from .train import gamma_schedule
+
+        out["hypers/natgrad_gamma"] = gamma_schedule(tc, step)
+    return {k: float(v) for k, v in jax.device_get(out).items()}
+
+
 class Monitor:
     def __init__(self, print_every: int = 500, log_dir: str | None = None,
-                 printer: Callable[[str], None] = print):
+                 printer: Callable[[str], None] = print,
+                 scalars_fn: Callable[[object], dict] | None = None):
+        """scalars_fn(state) -> {tag: float}: extra scalars (hyperparameters)
+        recorded each callback and written to TensorBoard — the
+        ModelToTensorBoardTask slot. Build one from hyperparameter_scalars."""
         self.print_every = print_every
         self.printer = printer
+        self.scalars_fn = scalars_fn
         self._t0 = None
         self._last_step = 0
         self._last_t = None
@@ -42,6 +81,10 @@ class Monitor:
         rate = (step - self._last_step) / max(now - self._last_t, 1e-9)
         rec = {"step": step, "elbo": -loss, "steps_per_sec": rate,
                "wall": now - self._t0}
+        scalars = {}
+        if self.scalars_fn is not None and state is not None:
+            scalars = self.scalars_fn(state)
+            rec.update(scalars)
         self.history.append(rec)
         if self._tb is not None:
             import tensorflow as tf  # type: ignore
@@ -49,6 +92,9 @@ class Monitor:
             with self._tb.as_default():
                 tf.summary.scalar("elbo", -loss, step=step)
                 tf.summary.scalar("steps_per_sec", rate, step=step)
+                for tag, val in scalars.items():
+                    tf.summary.scalar(tag, val, step=step)
+                self._tb.flush()
         if self.print_every and (step % self.print_every == 0
                                  or step - self._last_step >= self.print_every):
             self.printer(

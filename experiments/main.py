@@ -34,10 +34,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from dgps_with_iwvi_tpu.data import get_classification_data, get_regression_data
 from dgps_with_iwvi_tpu.evaluation import Database, evaluate
-from dgps_with_iwvi_tpu.models import BuildArgs, build_model, elbo
+from dgps_with_iwvi_tpu.models import (BuildArgs, build_model, elbo,
+                                       parse_prior_flag)
 from dgps_with_iwvi_tpu.training import TrainConfig, fit
 from dgps_with_iwvi_tpu.training.checkpoint import save_checkpoint
-from dgps_with_iwvi_tpu.training.monitor import Monitor
+from dgps_with_iwvi_tpu.training.monitor import Monitor, hyperparameter_scalars
 
 
 def parse_args(argv=None):
@@ -68,6 +69,12 @@ def parse_args(argv=None):
                    choices=["auto", "on", "off"],
                    help="fused Pallas conditional kernels (auto: measured "
                         "per-shape dispatch; see ops/conditionals.py)")
+    p.add_argument("--prior", action="append", default=[],
+                   help="hyperparameter prior, repeatable: "
+                        "target=kind(a,b) with target in "
+                        "{kernel_variance, lengthscales, noise_variance} "
+                        "and kind in {gamma, lognormal, gaussian}; e.g. "
+                        "--prior 'noise_variance=lognormal(-2,1)'")
     p.add_argument("--non_amortized", action="store_true",
                    help="per-datapoint q(w) instead of the encoder (small N)")
     p.add_argument("--no_white", action="store_true",
@@ -111,13 +118,22 @@ def run(args) -> dict:
         kernel_kind=args.kernel,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         amortized=not args.non_amortized, likelihood=args.likelihood,
-        white=not args.no_white, q_diag=args.q_diag)
+        white=not args.no_white, q_diag=args.q_diag,
+        priors=tuple(parse_prior_flag(s) for s in args.prior))
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
           f"K={args.K} N={data.N} D={data.D} on {jax.default_backend()}")
 
-    mon = Monitor(print_every=args.print_every, log_dir=args.log_dir)
+    tc_holder = []  # filled below; the monitor closure needs the TrainConfig
+
+    def _scalars(state):
+        return hyperparameter_scalars(state.rest, config,
+                                      tc=tc_holder[0] if tc_holder else None,
+                                      step=int(state.step))
+
+    mon = Monitor(print_every=args.print_every, log_dir=args.log_dir,
+                  scalars_fn=_scalars)
     last_ckpt = [0]
 
     def callback(step, mean_loss, state):
@@ -131,6 +147,7 @@ def run(args) -> dict:
         natgrad=args.natgrad,
         schedule=args.schedule, minibatch_size=args.minibatch_size,
         iterations=args.iterations, steps_per_call=args.steps_per_call)
+    tc_holder.append(tc)
     state0 = None
     if args.resume and args.ckpt_dir:
         from dgps_with_iwvi_tpu.training import make_trainer

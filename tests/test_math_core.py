@@ -107,6 +107,76 @@ class TestLinalg:
         d = jnp.diagonal(L)
         assert bool(jnp.all(d > 0))
 
+    def test_fast_path_gradient_matches_plain_cholesky(self):
+        """Well-conditioned input: the rescue-on-failure design must be
+        gradient-identical to a plain fixed-jitter Cholesky (the common
+        path is ONE factorization, no selection ladder)."""
+        A = _rand(KEY, 6, 6)
+        Kmat = A @ A.T + 5.0 * jnp.eye(6)
+
+        f1 = lambda K: jnp.sum(jnp.sin(
+            linalg.cholesky_with_jitter(K, 1e-6, max_tries=4)))
+        f2 = lambda K: jnp.sum(jnp.sin(
+            jnp.linalg.cholesky(K + 1e-6 * jnp.eye(6))))
+        np.testing.assert_allclose(np.asarray(jax.grad(f1)(Kmat)),
+                                   np.asarray(jax.grad(f2)(Kmat)), rtol=1e-12)
+
+    def test_rescue_gradients_finite(self):
+        """Rank-deficient f32 input under grad: the escalation branch must
+        produce finite gradients (no 0*Inf poisoning through the failed
+        base-jitter factor)."""
+        v = jnp.linspace(0.5, 1.5, 4, dtype=jnp.float32)[:, None]
+        Kmat = (v @ v.T).astype(jnp.float32)  # rank 1
+
+        def f(K):
+            L = linalg.cholesky_with_jitter(K, 1e-7, max_tries=6)
+            return jnp.sum(jnp.square(L))
+
+        # confirm the fast path actually fails here (rescue is exercised)
+        L0 = jnp.linalg.cholesky(Kmat + 1e-7 * jnp.eye(4, dtype=jnp.float32))
+        assert not bool(jnp.all(jnp.isfinite(L0))), "fixture must need rescue"
+        g = jax.grad(f)(Kmat)
+        assert bool(jnp.all(jnp.isfinite(g))), g
+        assert bool(jnp.all(jnp.isfinite(f(Kmat))))
+
+    def test_chol_reuse_pullback_matches_jax_vjp(self):
+        """_chol_reuse's manual Cholesky pullback must match
+        jax.vjp(jnp.linalg.cholesky) bit-for-bit in convention (symmetrized
+        cotangent), single and batched."""
+        from dgps_with_iwvi_tpu.ops.linalg import _chol_reuse_bwd
+
+        rng = np.random.RandomState(0)
+        A0 = rng.randn(5, 5)
+        A = jnp.asarray(A0 @ A0.T + 5 * np.eye(5))
+        Ab = jnp.stack([A, 1.3 * A])
+        for a in (A, Ab):
+            L = jnp.linalg.cholesky(a)
+            Lbar = jnp.asarray(rng.randn(*a.shape))
+            _, pull = jax.vjp(jnp.linalg.cholesky, a)
+            np.testing.assert_allclose(
+                np.asarray(_chol_reuse_bwd(L, Lbar)[0]),
+                np.asarray(pull(Lbar)[0]), atol=1e-14)
+
+    def test_rescue_under_scan_and_jit(self):
+        """cholesky_with_jitter inside a scanned jitted step (the training
+        hot path): both branches trace, the good input stays on the fast
+        path, a bad input still rescues."""
+        A = _rand(KEY, 5, 5)
+        good = (A @ A.T + 3.0 * jnp.eye(5)).astype(jnp.float32)
+        v = jnp.ones((5, 1), jnp.float32)
+        bad = (v @ v.T).astype(jnp.float32)
+
+        @jax.jit
+        def run(K):
+            def body(c, _):
+                L = linalg.cholesky_with_jitter(K, 1e-7, max_tries=6)
+                return c + jnp.sum(jnp.log(jnp.diagonal(L))), None
+            out, _ = jax.lax.scan(body, 0.0, None, length=3)
+            return out
+
+        assert np.isfinite(float(run(good)))
+        assert np.isfinite(float(run(bad)))
+
     def test_solve_and_cho_solve(self):
         A = _rand(KEY, 5, 5)
         Kmat = A @ A.T + 3.0 * jnp.eye(5)
