@@ -46,6 +46,8 @@ class BuildArgs:
     # hyperparameter priors: tuple of (path_suffix, kind, a, b) specs
     # (see ops/priors.py); () = off, matching the reference defaults
     priors: tuple = ()
+    # q-variance matmul MXU precision (see DGPConfig.var_precision)
+    var_precision: str = "high"
 
 
 # friendly prior-target names -> parameter-path suffixes (ops/priors.py)
@@ -135,6 +137,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         likelihood=args.likelihood,
         jitter_tries=args.jitter_tries,
         priors=tuple(args.priors),
+        var_precision=args.var_precision,
     )
 
 

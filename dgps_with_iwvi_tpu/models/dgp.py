@@ -69,6 +69,15 @@ class DGPConfig:
     # added to the objective as log_prior(params) — the reference's GPflow
     # Model objective = likelihood + prior (SURVEY.md §2.2). Empty = off.
     priors: tuple = ()
+    # MXU precision for the q-variance matmuls ONLY (the FLOP-dominant
+    # (q_sqrt^T A) contraction — a cancellation-free sum of squares):
+    # 'highest' (bf16x6), 'high' (bf16x3), 'default' (single-pass bf16).
+    # The gram/solve/mean path always runs HIGHEST. Measured at the flagship
+    # shape (LGG K=20 M=128 B=512, v5e): 'high' leaves the ELBO within 6e-8
+    # relative of 'highest', training quality identical over 3k steps
+    # (test loglik 0.1745 vs 0.1759, ELBO -4460 vs -4466), and removes
+    # ~0.13 ms/step of MXU time; hence 'high' is the default.
+    var_precision: str = "high"
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")
@@ -113,6 +122,38 @@ def init_dgp(
     }
 
 
+def prefactor_gp_layers(params, config: DGPConfig) -> dict:
+    """Batched Kuu factorization for ALL GP layers at once.
+
+    The TPU Cholesky / triangular-solve custom calls are latency-bound at
+    M <= a few hundred (~10-14 us each, serialized), so factorizing each
+    layer separately puts 2 calls + 1 rescue-cond per layer on the critical
+    path. Stacking every layer's Kuu (grouped by M) into ONE batched
+    cholesky_with_jitter + ONE batched triangular solve costs a single
+    call each. Returns {layer_id: (Lm, Linv)}.
+    """
+    from ..ops import kernels as _kern
+
+    groups: dict = {}
+    for i, cfg in enumerate(config.layers):
+        if isinstance(cfg, GPLayerConfig):
+            groups.setdefault(cfg.num_inducing, []).append(i)
+    out = {}
+    for m, ids in groups.items():
+        Kuus = jnp.stack([
+            _kern.K(params["layers"][i]["kernel"], params["layers"][i]["Z"],
+                    params["layers"][i]["Z"], kind=config.layers[i].kernel_kind)
+            for i in ids])
+        Lms = linalg.cholesky_with_jitter(Kuus, config.jitter,
+                                          max_tries=config.jitter_tries)
+        eye = jnp.eye(m, dtype=Lms.dtype)
+        Linvs = linalg.solve_triangular(
+            Lms, jnp.broadcast_to(eye, Lms.shape), lower=True)
+        for j, i in enumerate(ids):
+            out[i] = (Lms[j], Linvs[j])
+    return out
+
+
 def propagate(
     params,
     config: DGPConfig,
@@ -139,6 +180,7 @@ def propagate(
     local_kl = jnp.zeros((B,), dtype)
     final_out = None
     lv_idx = 0
+    factors = prefactor_gp_layers(params, config)
     for i, cfg in enumerate(config.layers):
         lkey = jax.random.fold_in(key, i)
         if isinstance(cfg, LVLayerConfig):
@@ -150,10 +192,13 @@ def propagate(
             local_kl = local_kl + kl_i
             lv_idx += 1
         else:
+            Lm, Linv = factors[i]
             F, moments = gp_layer_propagate(
                 params["layers"][i], cfg, F, lkey, jitter=config.jitter,
                 use_pallas=config.use_pallas,
-                jitter_tries=config.jitter_tries)
+                jitter_tries=config.jitter_tries,
+                var_precision=config.var_precision,
+                Lm=Lm, Linv=Linv)
             if cfg.final:
                 final_out = moments
     fmean, fvar = final_out
@@ -252,7 +297,8 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
             F, _ = gp_layer_propagate(
                 params["layers"][i], cfg, F, lkey, jitter=config.jitter,
                 use_pallas=config.use_pallas,
-                jitter_tries=config.jitter_tries)
+                jitter_tries=config.jitter_tries,
+                var_precision=config.var_precision)
     fcfg = config.layers[final_i]
     assert fcfg.white, "full-cov prediction implemented for white=True"
     fp = params["layers"][final_i]

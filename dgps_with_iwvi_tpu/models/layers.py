@@ -138,8 +138,14 @@ def gp_layer_propagate(
     jitter: float = linalg.DEFAULT_JITTER,
     use_pallas: bool | str = "auto",
     jitter_tries: int = 4,
+    var_precision: str | None = None,
+    Lm: jax.Array | None = None,
+    Linv: jax.Array | None = None,
 ):
     """One whitened-SVGP layer step.
+
+    Pass precomputed (Lm, Linv) from dgp.prefactor_gp_layers to share ONE
+    batched Kuu factorization across the whole layer stack.
 
     Non-final: returns a reparameterized marginal sample [..., B, d_out]
     (plus the conditional moments). Final: returns (mean, var) for the
@@ -157,12 +163,13 @@ def gp_layer_propagate(
         raw_sample, out = conditionals.sample_conditional_fused(
             key, F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
             kernel_kind=cfg.kernel_kind, jitter=jitter,
-            jitter_tries=jitter_tries)
+            jitter_tries=jitter_tries, Lm=Lm)
     else:
         out = conditionals.conditional(
             F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
             kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas,
-            jitter_tries=jitter_tries, white=cfg.white)
+            jitter_tries=jitter_tries, white=cfg.white,
+            var_precision=var_precision, Lm=Lm, Linv=Linv)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:

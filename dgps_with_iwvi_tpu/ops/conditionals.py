@@ -50,9 +50,27 @@ def base_conditional_whitened(
     Kff_diag: jax.Array,  # [..., N]
     q_mu: jax.Array,     # [M, D]
     q_sqrt: jax.Array,   # [D, M, M] lower-triangular
+    var_precision: str | None = None,
+    Linv: jax.Array | None = None,
 ) -> ConditionalOut:
-    """Whitened marginal conditional; broadcasts over leading axes of Kuf."""
+    """Whitened marginal conditional; broadcasts over leading axes of Kuf.
+
+    var_precision controls ONLY the q-variance matmuls (the (q_sqrt^T A)
+    contraction and its square-sum): this is the FLOP-dominant term of the
+    whole DGP step ([D, M, M] x [M, K*S*B]) and, being a cancellation-free
+    sum of squares, tolerates fewer bf16 MXU passes — 'high' (bf16x3)
+    measured 6e-8 relative ELBO error vs 'highest' at the flagship shape
+    while removing ~0.13 ms/step of MXU time (fwd + both transposed dots).
+    The gram / solve / mean path always stays HIGHEST (catastrophic
+    cancellation there). One caveat: the exact Kff - sum(A^2) + sum((L^T A)^2)
+    cancellation at q_sqrt == I (whitened init) is no longer bit-exact, so
+    Z/lengthscale grads that are exactly 0 at HIGHEST come out ~1e-3-absolute
+    instead; one optimizer step breaks that symmetry anyway.
+    """
     hp = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: GP moments cancel
+    vp = {None: hp, "highest": hp,
+          "high": jax.lax.Precision.HIGH,
+          "default": jax.lax.Precision.DEFAULT}[var_precision]
     # Wide solves (many K*S*B columns against one small well-conditioned
     # jittered factor): invert Lm once ([M, M] solve) and turn the wide
     # sequential triangular solve — and its whole backward pass — into pure
@@ -61,7 +79,9 @@ def base_conditional_whitened(
     for s in (*Kuf.shape[:-2], Kuf.shape[-1]):
         n_cols *= s
     m = Lm.shape[-1]
-    if INVERSE_SOLVE and Lm.ndim == 2 and n_cols >= 4 * m:
+    if Linv is not None:
+        A = jnp.matmul(Linv, Kuf, precision=hp)            # [..., M, N]
+    elif INVERSE_SOLVE and Lm.ndim == 2 and n_cols >= 4 * m:
         Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
         A = jnp.matmul(Linv, Kuf, precision=hp)            # [..., M, N]
     else:
@@ -71,11 +91,11 @@ def base_conditional_whitened(
     if q_sqrt.ndim == 2:
         # q_diag: q_sqrt [M, D] holds diagonal scales; var_q = (A^2)^T s^2
         fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
-                            jnp.square(q_sqrt), precision=hp)  # [..., N, D]
+                            jnp.square(q_sqrt), precision=vp)  # [..., N, D]
         return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
     # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
     LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
-                     precision=hp)
+                     precision=vp)
     fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)  # [..., N, D]
     return ConditionalOut(mean, var)
@@ -89,6 +109,7 @@ def base_conditional(
     q_sqrt: jax.Array,   # [D, M, M] lower-triangular
     *,
     white: bool = True,
+    var_precision: str | None = None,
 ) -> ConditionalOut:
     """gpflow-style base_conditional supporting BOTH parameterizations.
 
@@ -99,14 +120,18 @@ def base_conditional(
         var  = Kff_diag - diag(Kuf^T Kuu^-1 Kuf) + rowsum((q_sqrt^T A)^2)
     """
     if white:
-        return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt)
+        return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt,
+                                         var_precision=var_precision)
     hp = jax.lax.Precision.HIGHEST
+    vp = {None: hp, "highest": hp,
+          "high": jax.lax.Precision.HIGH,
+          "default": jax.lax.Precision.DEFAULT}[var_precision]
     A1 = solve_triangular(Lm, Kuf, lower=True)             # [..., M, N]
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
-                     precision=hp)
+                     precision=vp)
     fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)
     return ConditionalOut(mean, var)
@@ -139,9 +164,11 @@ def conditional(
     kernel_kind: str = "rbf",
     jitter: float = DEFAULT_JITTER,
     Lm: jax.Array | None = None,
+    Linv: jax.Array | None = None,
     use_pallas: bool = False,
     jitter_tries: int = 4,
     white: bool = True,
+    var_precision: str | None = None,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
@@ -169,7 +196,8 @@ def conditional(
         xs = (X / ls).reshape((-1, d_in))
         zs = Z / ls
         m = Z.shape[0]
-        Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
+        if Linv is None:
+            Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
         interpret = jax.default_backend() != "tpu"
         mean, v = fused_conditional(xs, zs, var, Linv, q_mu, q_sqrt,
                                     interpret)
@@ -179,7 +207,12 @@ def conditional(
     # Z:[M,D] broadcasts against X:[..., N, D] -> Kuf:[..., M, N]
     Kuf = kernels.K(kernel_params, Z, X, kind=kernel_kind)
     Kff_diag = kernels.Kdiag(kernel_params, X, kind=kernel_kind)
-    return base_conditional(Kuf, Lm, Kff_diag, q_mu, q_sqrt, white=white)
+    if white:
+        return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt,
+                                         var_precision=var_precision,
+                                         Linv=Linv)
+    return base_conditional(Kuf, Lm, Kff_diag, q_mu, q_sqrt, white=white,
+                            var_precision=var_precision)
 
 
 def sample_conditional_fused(

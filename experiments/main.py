@@ -69,6 +69,10 @@ def parse_args(argv=None):
                    choices=["auto", "on", "off"],
                    help="fused Pallas conditional kernels (auto: measured "
                         "per-shape dispatch; see ops/conditionals.py)")
+    p.add_argument("--var_precision", default="high",
+                   choices=["highest", "high", "default"],
+                   help="MXU precision for the q-variance matmuls only "
+                        "(gram/solve/mean always run HIGHEST)")
     p.add_argument("--prior", action="append", default=[],
                    help="hyperparameter prior, repeatable: "
                         "target=kind(a,b) with target in "
@@ -119,7 +123,8 @@ def run(args) -> dict:
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         amortized=not args.non_amortized, likelihood=args.likelihood,
         white=not args.no_white, q_diag=args.q_diag,
-        priors=tuple(parse_prior_flag(s) for s in args.prior))
+        priors=tuple(parse_prior_flag(s) for s in args.prior),
+        var_precision=args.var_precision)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
