@@ -185,7 +185,9 @@ def run(args) -> dict:
     # to the crude wall-clock estimate for very short runs
     import math
 
-    steps_per_sec = mon.mean_steps_per_sec
+    steps_per_sec = mon.median_steps_per_sec
+    if not math.isfinite(steps_per_sec) or steps_per_sec <= 0:
+        steps_per_sec = mon.mean_steps_per_sec
     if not math.isfinite(steps_per_sec) or steps_per_sec <= 0:
         steps_per_sec = args.iterations / train_time
 
