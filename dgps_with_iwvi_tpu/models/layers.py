@@ -152,12 +152,19 @@ def gp_layer_propagate(
     analytic/collapsed Gaussian data term — no sample drawn, matching the
     reference objective (SURVEY.md §3.2).
     """
-    q_sqrt = (params["q_sqrt"] if cfg.q_diag
-              else jnp.tril(params["q_sqrt"]))
+    # natgrad covariance form: the merged params carry q(u)'s covariance S
+    # (plus carried logdet/inverse) instead of a root — no factorization of
+    # S anywhere in the training step (training/natgrad.py).
+    q_cov = params.get("q_cov")
+    if q_cov is not None:
+        q_sqrt = None
+    else:
+        q_sqrt = (params["q_sqrt"] if cfg.q_diag
+                  else jnp.tril(params["q_sqrt"]))
     if use_pallas == "auto":
-        use_pallas = False  # measured: XLA fusion >= pallas at all tested M
+        use_pallas = False  # measured: XLA >= pallas at every shape (docs/PALLAS_SWEEP.md)
     fused_sample = (use_pallas and not cfg.final and cfg.white
-                    and not cfg.q_diag)
+                    and not cfg.q_diag and q_cov is None)
     if fused_sample:
         # gram -> conditional -> reparameterized sample in one Pallas kernel
         raw_sample, out = conditionals.sample_conditional_fused(
@@ -169,7 +176,7 @@ def gp_layer_propagate(
             F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
             kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas,
             jitter_tries=jitter_tries, white=cfg.white,
-            var_precision=var_precision, Lm=Lm, Linv=Linv)
+            var_precision=var_precision, Lm=Lm, Linv=Linv, q_S=q_cov)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:
@@ -195,11 +202,20 @@ def gp_layer_kl(params, cfg: GPLayerConfig,
     if cfg.q_diag:
         assert cfg.white, "q_diag layers are whitened-only"
         return kl.gauss_kl_white_diag(params["q_mu"], params["q_sqrt"])
+    q_cov = params.get("q_cov")
     if cfg.white:
+        if q_cov is not None:
+            return kl.gauss_kl_white_cov(
+                params["q_mu"], q_cov, params["q_cov_logdet"],
+                params["q_cov_Sinv"])
         return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
     Kuu = kernels.K(params["kernel"], params["Z"], params["Z"],
                     kind=cfg.kernel_kind)
     Lm = linalg.cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
+    if q_cov is not None:
+        return kl.gauss_kl_cov(params["q_mu"], q_cov,
+                               params["q_cov_logdet"],
+                               params["q_cov_Sinv"], Lm)
     return kl.gauss_kl(params["q_mu"], jnp.tril(params["q_sqrt"]), Lm)
 
 

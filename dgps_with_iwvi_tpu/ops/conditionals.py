@@ -49,11 +49,17 @@ def base_conditional_whitened(
     Lm: jax.Array,       # [M, M] lower Cholesky of Kuu (+jitter)
     Kff_diag: jax.Array,  # [..., N]
     q_mu: jax.Array,     # [M, D]
-    q_sqrt: jax.Array,   # [D, M, M] lower-triangular
+    q_sqrt: jax.Array,   # [D, M, M] lower-triangular (or [M, D] q_diag)
     var_precision: str | None = None,
     Linv: jax.Array | None = None,
+    q_S: jax.Array | None = None,   # [D, M, M] covariance form (natgrad)
 ) -> ConditionalOut:
     """Whitened marginal conditional; broadcasts over leading axes of Kuf.
+
+    q_S (covariance form): when given, the q-variance term is computed as
+    diag(A^T S A) = sum_M A * (S A) directly from the covariance — the
+    natural-gradient state — so the training step never has to factorize S
+    (q_sqrt is ignored). Identical math and FLOPs as the root form.
 
     var_precision controls ONLY the q-variance matmuls (the (q_sqrt^T A)
     contraction and its square-sum): this is the FLOP-dominant term of the
@@ -88,6 +94,11 @@ def base_conditional_whitened(
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
+    if q_S is not None:
+        SA = jnp.matmul(q_S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
+        fvar_q = jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
+        return ConditionalOut(
+            mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
     if q_sqrt.ndim == 2:
         # q_diag: q_sqrt [M, D] holds diagonal scales; var_q = (A^2)^T s^2
         fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
@@ -110,6 +121,7 @@ def base_conditional(
     *,
     white: bool = True,
     var_precision: str | None = None,
+    q_S: jax.Array | None = None,
 ) -> ConditionalOut:
     """gpflow-style base_conditional supporting BOTH parameterizations.
 
@@ -121,7 +133,8 @@ def base_conditional(
     """
     if white:
         return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt,
-                                         var_precision=var_precision)
+                                         var_precision=var_precision,
+                                         q_S=q_S)
     hp = jax.lax.Precision.HIGHEST
     vp = {None: hp, "highest": hp,
           "high": jax.lax.Precision.HIGH,
@@ -130,6 +143,11 @@ def base_conditional(
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
+    if q_S is not None:  # covariance form (see base_conditional_whitened)
+        SA = jnp.matmul(q_S, A[..., None, :, :], precision=vp)
+        fvar_q = jnp.sum(A[..., None, :, :] * SA, axis=-2)
+        return ConditionalOut(
+            mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
     LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
                      precision=vp)
     fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
@@ -169,6 +187,7 @@ def conditional(
     jitter_tries: int = 4,
     white: bool = True,
     var_precision: str | None = None,
+    q_S: jax.Array | None = None,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
@@ -184,8 +203,9 @@ def conditional(
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
         Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
     if use_pallas == "auto":
-        use_pallas = False  # measured: XLA fusion >= pallas at all tested M
-    if use_pallas and kernel_kind == "rbf" and white and q_sqrt.ndim == 3:
+        use_pallas = False  # measured: XLA >= pallas at every shape (docs/PALLAS_SWEEP.md)
+    if (use_pallas and kernel_kind == "rbf" and white and q_S is None
+            and q_sqrt.ndim == 3):
         from .pallas.conditional import fused_conditional
 
         ls = kernels.kernel_lengthscales(kernel_params)
@@ -210,9 +230,9 @@ def conditional(
     if white:
         return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt,
                                          var_precision=var_precision,
-                                         Linv=Linv)
+                                         Linv=Linv, q_S=q_S)
     return base_conditional(Kuf, Lm, Kff_diag, q_mu, q_sqrt, white=white,
-                            var_precision=var_precision)
+                            var_precision=var_precision, q_S=q_S)
 
 
 def sample_conditional_fused(

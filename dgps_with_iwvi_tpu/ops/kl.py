@@ -27,6 +27,60 @@ def gauss_kl_white(q_mu: jax.Array, q_sqrt: jax.Array) -> jax.Array:
     return 0.5 * (mahal + trace - M * D - logdet)
 
 
+@jax.custom_vjp
+def carried_logdet(S: jax.Array, logdet_val: jax.Array,
+                   Sinv: jax.Array) -> jax.Array:
+    """log det S_d, [D], with the VALUE carried from the natgrad state and
+    the GRADIENT routed to S via the carried inverse (d logdet S / dS =
+    S^-1) — so the covariance-form natgrad path never factorizes S inside
+    the loss. logdet_val and Sinv are state, not differentiated."""
+    del S, Sinv
+    return logdet_val
+
+
+def _cl_fwd(S, logdet_val, Sinv):
+    return logdet_val, Sinv
+
+
+def _cl_bwd(Sinv, g):
+    return (g[:, None, None] * Sinv, jnp.zeros(g.shape, Sinv.dtype),
+            jnp.zeros_like(Sinv))
+
+
+carried_logdet.defvjp(_cl_fwd, _cl_bwd)
+
+
+def gauss_kl_white_cov(q_mu: jax.Array, q_S: jax.Array,
+                       logdet_val: jax.Array, Sinv: jax.Array) -> jax.Array:
+    """Whitened gauss_kl in COVARIANCE form: q(v) = N(q_mu, S) with S
+    [D, M, M] given directly (the natgrad state), logdet/inverse carried:
+        0.5 * sum_d [ m_d^T m_d + tr(S_d) - M - logdet S_d ]
+    Matches gauss_kl_white(q_mu, chol(S)) exactly (tested)."""
+    M, D = q_mu.shape
+    mahal = jnp.sum(jnp.square(q_mu))
+    trace = jnp.sum(jnp.diagonal(q_S, axis1=-2, axis2=-1))
+    logdet = jnp.sum(carried_logdet(q_S, logdet_val, Sinv))
+    return 0.5 * (mahal + trace - M * D - logdet)
+
+
+def gauss_kl_cov(q_mu: jax.Array, q_S: jax.Array, logdet_val: jax.Array,
+                 Sinv: jax.Array, Lm: jax.Array) -> jax.Array:
+    """Non-whitened gauss_kl in covariance form (see gauss_kl):
+        0.5 * sum_d [ m_d^T Kuu^-1 m_d + tr(Kuu^-1 S_d) - M
+                      + log|Kuu| - log|S_d| ]
+    """
+    from .linalg import cho_solve, solve_triangular
+
+    M, D = q_mu.shape
+    alpha = solve_triangular(Lm, q_mu, lower=True)
+    mahal = jnp.sum(jnp.square(alpha))
+    KiS = cho_solve(Lm, q_S)                                # [D, M, M]
+    trace = jnp.sum(jnp.diagonal(KiS, axis1=-2, axis2=-1))
+    logdet_q = jnp.sum(carried_logdet(q_S, logdet_val, Sinv))
+    logdet_p = D * 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
+    return 0.5 * (mahal + trace - M * D + logdet_p - logdet_q)
+
+
 def gauss_kl_white_diag(q_mu: jax.Array, q_sqrt_diag: jax.Array) -> jax.Array:
     """Whitened KL for the q_diag family: q_sqrt_diag [M, D] of scales.
     0.5 * sum [ m^2 + s^2 - 1 - log s^2 ]."""

@@ -78,6 +78,10 @@ def _fused_kernel(var_ref, xs_ref, zs_ref, linv_ref, qmu_ref, lq_ref,
     # beats D separate [TB,M]x[M,M] dots (per-dot overhead dominates at
     # small M).
     m = a.shape[1]
+    # NOTE: the XLA path runs this variance dot at Precision.HIGH (bf16x3,
+    # ops/conditionals.py var_precision default) but Mosaic's dot lowering
+    # supports only DEFAULT/HIGHEST — a structural handicap for the fused
+    # kernel recorded in docs/PALLAS_SWEEP.md.
     ball = jnp.dot(a, lq_ref[...], preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)   # [TB, D*M]
     sq = ball * ball

@@ -186,19 +186,51 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
 
 
 def shard_arrays(mesh: Mesh, X, Y):
-    """Place (X, Y) sharded along 'dp' (pads N to a multiple of n_dp by
-    repeating head rows — harmless under with-replacement minibatching)."""
+    """Place (X, Y) sharded along 'dp'.
+
+    Single process (incl. the virtual-device test mesh): X/Y are the GLOBAL
+    arrays; N is padded to a multiple of n_dp by repeating head rows
+    (harmless under with-replacement minibatching — global_row_ids maps the
+    padded rows back to their sources).
+
+    Multi-process: X/Y are THIS PROCESS's equal-size row chunk (in
+    process_id order); global arrays are assembled from per-process data
+    via jax.make_array_from_process_local_data — device_put of a global
+    array would require all devices to be addressable, which is exactly
+    the single-controller assumption a pod slice violates. Padding is not
+    supported multi-process (chunks must already be equal) — asserted.
+    """
+    import numpy as np
+
     n_dp = mesh.shape["dp"]
+    sx = NamedSharding(mesh, P("dp", None))
+    if jax.process_count() > 1:
+        X, Y = np.asarray(X), np.asarray(Y)
+        n_dp_local = max(n_dp // jax.process_count(), 1)
+        assert X.shape[0] % n_dp_local == 0, (
+            f"multi-process shard_arrays: this process's chunk (N_local="
+            f"{X.shape[0]}) must divide evenly over its {n_dp_local} local "
+            "'dp' mesh rows — pre-pad/trim the data split per process")
+        return (jax.make_array_from_process_local_data(sx, X),
+                jax.make_array_from_process_local_data(sx, Y))
     n = X.shape[0]
     rem = (-n) % n_dp
     if rem:
         X = jnp.concatenate([X, X[:rem]], axis=0)
         Y = jnp.concatenate([Y, Y[:rem]], axis=0)
-    sx = NamedSharding(mesh, P("dp", None))
     return jax.device_put(X, sx), jax.device_put(Y, sx)
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh (multi-process safe: each
+    process materializes its addressable shards from host values)."""
+    import numpy as np
+
     s = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def put(a):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(a.shape, s,
+                                                lambda idx: a[idx])
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..models.layers import GPLayerConfig
@@ -62,11 +63,13 @@ def natgrad_layer_ids(config, which: str = "final") -> tuple:
 def extract_natvars(params, layer_ids: Sequence[int]):
     """Pull (m, S = L L^T) blocks out of the canonical (q_mu, q_sqrt) store.
 
-    Also carries S^-1: the natgrad update needs it every step, and its NEW
-    value is the updated precision itself (S_new = P^-1 with P = S^-1 +
-    2 gamma H), so keeping it in the state removes a per-step factorization
-    + two triangular inversions. It is stop-gradient'd in the loss (see
-    natgrad_update: the zero cotangent is discarded).
+    Besides (m, S) the state carries S^-1 and log det S: the natgrad update
+    needs S^-1 every step and its NEW value is the updated precision itself
+    (S_new = P^-1 with P = S^-1 + 2 gamma H), and log det S_new =
+    -log det P comes free from P's Cholesky diagonal — so with the
+    covariance-form loss (insert_natvars / train._merge_params) NOTHING in
+    the whole training step ever factorizes S. Carried entries are
+    stop-gradient'd in the loss (zero cotangents, discarded by the update).
     """
     natvars = []
     for i in layer_ids:
@@ -75,19 +78,37 @@ def extract_natvars(params, layer_ids: Sequence[int]):
         eye = jnp.eye(L.shape[-1], dtype=L.dtype)
         Sinv = cho_solve(L, jnp.broadcast_to(eye, S.shape))
         Sinv = 0.5 * (Sinv + jnp.swapaxes(Sinv, -1, -2))
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
         natvars.append({"q_mu": params["layers"][i]["q_mu"], "q_S": S,
-                        "q_Sinv": Sinv})
+                        "q_Sinv": Sinv, "q_logdet": logdet})
     return natvars
 
 
-def insert_natvars(params, natvars, layer_ids: Sequence[int]):
-    """Rebuild full params with q_sqrt = chol(S). Differentiable in natvars;
-    chol grads flow back to (m, S) so dL/dS comes out of one backward pass."""
+def insert_natvars(params, natvars, layer_ids: Sequence[int],
+                   cov_form: bool | Sequence[bool] = True):
+    """Rebuild full params, differentiable in natvars.
+
+    cov_form=True (default, whitened layers): the layer gets q_cov = S plus
+    the carried (logdet, Sinv) — the loss consumes the covariance directly
+    (ops/conditionals.py q_S path, ops/kl.py gauss_kl_white_cov) and dL/dS
+    comes straight out of one backward pass with NO Cholesky of S.
+    cov_form=False: legacy root form, q_sqrt = chol(S) with the chol's
+    pullback providing dL/dS (identical gradients, one more factorization).
+    """
+    if isinstance(cov_form, bool):
+        cov_form = [cov_form] * len(layer_ids)
     layers = list(params["layers"])
-    for nv, i in zip(natvars, layer_ids):
-        lp = dict(layers[i])
+    for nv, i, cov in zip(natvars, layer_ids, cov_form):
+        lp = {k: v for k, v in layers[i].items()
+              if k not in ("q_sqrt", "q_cov", "q_cov_logdet", "q_cov_Sinv")}
         lp["q_mu"] = nv["q_mu"]
-        lp["q_sqrt"] = jnp.linalg.cholesky(nv["q_S"])
+        if cov:
+            lp["q_cov"] = nv["q_S"]
+            lp["q_cov_logdet"] = jax.lax.stop_gradient(nv["q_logdet"])
+            lp["q_cov_Sinv"] = jax.lax.stop_gradient(nv["q_Sinv"])
+        else:
+            lp["q_sqrt"] = jnp.linalg.cholesky(nv["q_S"])
         layers[i] = lp
     out = dict(params)
     out["layers"] = layers
@@ -128,8 +149,12 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         # the jitter rescue escalated, where P alone would drift from
         # S_new^-1 and the mismatch would persist across all later steps)
         P_eff = Lp @ jnp.swapaxes(Lp, -1, -2)
+        # log det S_new = -log det P_eff, free from Lp's diagonal
+        logdet_new = -2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
         new.append({"q_mu": m_new, "q_S": S_new,
-                    "q_Sinv": 0.5 * (P_eff + jnp.swapaxes(P_eff, -1, -2))})
+                    "q_Sinv": 0.5 * (P_eff + jnp.swapaxes(P_eff, -1, -2)),
+                    "q_logdet": logdet_new})
     return new
 
 

@@ -81,16 +81,10 @@ def _split_params(params, layer_ids):
 
 
 def _merge_params(rest, natvars, layer_ids):
-    """Differentiable merge: q_sqrt = chol(S) (see natgrad.insert_natvars)."""
-    layers = list(rest["layers"])
-    for nv, i in zip(natvars, layer_ids):
-        lp = dict(layers[i])
-        lp["q_mu"] = nv["q_mu"]
-        lp["q_sqrt"] = jnp.linalg.cholesky(nv["q_S"])
-        layers[i] = lp
-    out = dict(rest)
-    out["layers"] = layers
-    return out
+    """Differentiable covariance-form merge (natgrad.insert_natvars): the
+    loss consumes q(u)'s covariance S directly — no Cholesky of S anywhere
+    in the training step."""
+    return ng.insert_natvars(rest, natvars, layer_ids)
 
 
 def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):

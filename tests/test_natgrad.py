@@ -113,6 +113,70 @@ class TestConjugateExactness:
         assert all(b <= a + 1e-10 for a, b in zip(vals[:-1], vals[1:])), vals
 
 
+class TestCovarianceForm:
+    """The natgrad covariance-form loss (q_cov = S consumed directly, no
+    chol(S) anywhere in the step) must match the root form exactly in value
+    AND gradient."""
+
+    def test_conditional_and_kl_match_root_form(self):
+        from dgps_with_iwvi_tpu.ops import conditionals, kernels, kl
+
+        k1, k2, k3, k4 = jax.random.split(KEY, 4)
+        M, N, D_in, D = 7, 9, 3, 2
+        Z = jax.random.normal(k1, (M, D_in), jnp.float64)
+        X = jax.random.normal(k2, (N, D_in), jnp.float64)
+        kp = kernels.rbf_params(D_in, dtype=jnp.float64)
+        q_mu = jax.random.normal(k3, (M, D), jnp.float64)
+        L = jnp.tril(jax.random.normal(k4, (D, M, M), jnp.float64) * 0.3
+                     + 2.0 * jnp.eye(M))
+        S = L @ jnp.swapaxes(L, -1, -2)
+        Sinv = jnp.linalg.inv(S)
+        logdet = jnp.linalg.slogdet(S)[1]
+
+        root = conditionals.conditional(X, Z, kp, q_mu, L, jitter=1e-12)
+        cov = conditionals.conditional(X, Z, kp, q_mu, None, jitter=1e-12,
+                                       q_S=S)
+        np.testing.assert_allclose(np.asarray(cov.mean),
+                                   np.asarray(root.mean), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(cov.var),
+                                   np.asarray(root.var), rtol=1e-9)
+
+        kl_root = kl.gauss_kl_white(q_mu, L)
+        kl_cov = kl.gauss_kl_white_cov(q_mu, S, logdet, Sinv)
+        np.testing.assert_allclose(float(kl_cov), float(kl_root), rtol=1e-12)
+        # gradient w.r.t. S: root form via chol pullback == cov form direct
+        g_cov = jax.grad(lambda s: kl.gauss_kl_white_cov(
+            q_mu, s, logdet, Sinv))(S)
+        g_root = jax.grad(lambda s: kl.gauss_kl_white(
+            q_mu, jnp.linalg.cholesky(s)))(S)
+        np.testing.assert_allclose(np.asarray(g_cov), np.asarray(g_root),
+                                   atol=1e-10)
+
+    def test_trainer_losses_match_legacy_root_merge(self):
+        """make_trainer's cov-form loss == the legacy chol(S)-merge loss on
+        identical (natvars, rest, batch, key)."""
+        cfg, params, X, Y, Z = _svgp_setup()
+        layer_ids = natgrad_layer_ids(cfg, "final")
+        natvars = extract_natvars(params, layer_ids)
+
+        def loss_cov(nv):
+            return -elbo(insert_natvars(params, nv, layer_ids,
+                                        cov_form=True), cfg, X, Y, KEY)
+
+        def loss_root(nv):
+            return -elbo(insert_natvars(params, nv, layer_ids,
+                                        cov_form=False), cfg, X, Y, KEY)
+
+        np.testing.assert_allclose(float(loss_cov(natvars)),
+                                   float(loss_root(natvars)), rtol=1e-12)
+        g1 = jax.grad(loss_cov)(natvars)
+        g2 = jax.grad(loss_root)(natvars)
+        np.testing.assert_allclose(np.asarray(g1[0]["q_mu"]),
+                                   np.asarray(g2[0]["q_mu"]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(g1[0]["q_S"]),
+                                   np.asarray(g2[0]["q_S"]), atol=1e-9)
+
+
 class TestCarriedPrecision:
     """The state carries S^-1; it must stay the exact inverse of q_S, even
     when the precision Cholesky's jitter rescue escalates (ADVICE r1)."""

@@ -249,6 +249,47 @@ class TestShardedParity:
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree.leaves(params_fn(state)))
 
+    def test_sharded_checkpoint_save_restore_onto_mesh(self, tmp_path):
+        """Orbax save of a mesh-replicated TrainState and restore onto the
+        mesh: values bit-identical, shardings preserved, training continues
+        (multi-host-readiness item, SURVEY.md §5 'DCN for checkpoints')."""
+        from dgps_with_iwvi_tpu.training.checkpoint import (
+            restore_checkpoint, save_checkpoint)
+
+        mesh = make_mesh(4, 2)
+        X, Y = _data(n=128)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=3, d_y=1),
+                GPLayerConfig(d_in=4, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=128, objective="iw", num_iw_samples=4)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        tc = TrainConfig(lr=1e-2, gamma=0.05, natgrad="final",
+                         minibatch_size=32, iterations=20, steps_per_call=10)
+        init_fn, _, chunk_fn, params_fn = make_parallel_trainer(cfg, tc, mesh)
+        state = replicate(mesh, init_fn(params))
+        Xs, Ys = shard_arrays(mesh, X, Y)
+        cj = jax.jit(chunk_fn)
+        state, _ = cj(state, Xs, Ys, jax.random.PRNGKey(1))
+
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, int(state.step), state, KEY)
+        like = {"state": replicate(mesh, init_fn(params)), "key": KEY}
+        restored = restore_checkpoint(ckpt, int(state.step), like)["state"]
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored leaves live on the mesh and training continues from them
+        st2, l2 = cj(restored, Xs, Ys, jax.random.PRNGKey(2))
+        ref2, l2_ref = cj(state, Xs, Ys, jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(np.asarray(l2), np.asarray(l2_ref))
+
+    def test_distributed_initialize_noop_single_process(self):
+        from dgps_with_iwvi_tpu.parallel import distributed
+
+        assert distributed.initialize() is False
+        assert not distributed.is_multiprocess()
+
     def test_sharded_alternating_schedule(self):
         """The reference's two-pass natgrad/Adam schedule also works sharded."""
         mesh = make_mesh(4, 2)
