@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.layers import GPLayerConfig
-from ..ops.linalg import cholesky_with_jitter, cho_solve
+from ..ops.linalg import cholesky_with_jitter, cho_solve, solve_triangular
 
 
 def natgrad_layer_ids(config, which: str = "final") -> tuple:
@@ -142,8 +142,13 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         P = Sinv + 2.0 * gamma * H
         P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
         Lp = cholesky_with_jitter(P, 1e-12, max_tries=2)
-        S_new = cho_solve(Lp, jnp.broadcast_to(eye, S.shape))
-        S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
+        # S_new = P^-1 = U U^T with U = Lp^-T: ONE triangular solve + one
+        # tiny matmul instead of cho_solve's two solves (the TPU triangular
+        # custom calls are latency-bound at M<=128), and symmetric-PSD by
+        # construction.
+        U = solve_triangular(Lp, jnp.broadcast_to(eye, S.shape), lower=True,
+                             trans=True)                  # [D, M, M] = Lp^-T
+        S_new = U @ jnp.swapaxes(U, -1, -2)
         m_new = jnp.swapaxes((S_new @ theta1_new)[..., 0], 0, 1)  # [M, D]
         # carry the ACTUALLY-factorized precision Lp Lp^T (== P except when
         # the jitter rescue escalated, where P alone would drift from

@@ -180,7 +180,10 @@ def fit(
     init_fn, _, chunk_fn, params_fn = make_trainer(config, tc)
     if state is None:
         state = init_fn(params)
-    chunk_jit = jax.jit(chunk_fn)
+    # donate the carried state: the old buffers are dead after each chunk,
+    # and donation lets XLA update them in place instead of copying the
+    # whole (params + Adam moments + natgrad blocks) pytree every dispatch
+    chunk_jit = jax.jit(chunk_fn, donate_argnums=(0,))
     n_chunks = -(-tc.iterations // tc.steps_per_call)
     start_chunk = int(state.step) // tc.steps_per_call
     for c in range(start_chunk, n_chunks):
