@@ -38,6 +38,7 @@ CONFIGS = [
 ]
 
 COMMON = ["--natgrad", "final", "--print_every", "5000",
+          "--steps_per_call", "500",  # amortize per-dispatch tunnel latency
           "--results_db", os.path.join(os.path.dirname(__file__), "results.db")]
 
 

@@ -152,10 +152,13 @@ def gp_layer_propagate(
     analytic/collapsed Gaussian data term — no sample drawn, matching the
     reference objective (SURVEY.md §3.2).
     """
-    # natgrad covariance form: the merged params carry q(u)'s covariance S
-    # (plus carried logdet/inverse) instead of a root — no factorization of
-    # S anywhere in the training step (training/natgrad.py).
+    # natgrad covariance form: the merged params carry q(u)'s covariance —
+    # full S [D, M, M] under 'q_cov' (plus carried logdet/inverse) or
+    # diagonal variances [M, D] under 'q_cov_diag' — instead of a root; no
+    # factorization of S anywhere in the training step (training/natgrad.py).
     q_cov = params.get("q_cov")
+    if q_cov is None and "q_cov_diag" in params:
+        q_cov = params["q_cov_diag"]
     if q_cov is not None:
         q_sqrt = None
     else:
@@ -201,6 +204,9 @@ def gp_layer_kl(params, cfg: GPLayerConfig,
                 jitter_tries: int = 4) -> jax.Array:
     if cfg.q_diag:
         assert cfg.white, "q_diag layers are whitened-only"
+        if "q_cov_diag" in params:  # diagonal natgrad variance form
+            return kl.gauss_kl_white_diagvar(params["q_mu"],
+                                             params["q_cov_diag"])
         return kl.gauss_kl_white_diag(params["q_mu"], params["q_sqrt"])
     q_cov = params.get("q_cov")
     if cfg.white:

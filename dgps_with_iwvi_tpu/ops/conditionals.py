@@ -95,6 +95,11 @@ def base_conditional_whitened(
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
     if q_S is not None:
+        if q_S.ndim == 2:
+            # diagonal covariance form: q_S [M, D] holds variances directly
+            fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2), q_S,
+                                precision=vp)               # [..., N, D]
+            return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
         SA = jnp.matmul(q_S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
         fvar_q = jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
         return ConditionalOut(

@@ -88,6 +88,12 @@ def gauss_kl_white_diag(q_mu: jax.Array, q_sqrt_diag: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(jnp.square(q_mu) + s2 - 1.0 - jnp.log(s2))
 
 
+def gauss_kl_white_diagvar(q_mu: jax.Array, v: jax.Array) -> jax.Array:
+    """gauss_kl_white_diag in VARIANCE form (v [M, D] = s^2 directly) — the
+    diagonal natgrad state; no square root anywhere."""
+    return 0.5 * jnp.sum(jnp.square(q_mu) + v - 1.0 - jnp.log(v))
+
+
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array, Lm: jax.Array) -> jax.Array:
     """KL( N(q_mu, L L^T) || N(0, Kuu) ) with Lm = chol(Kuu), summed over
     output dims — the non-whitened case of the reference's gauss_kl:

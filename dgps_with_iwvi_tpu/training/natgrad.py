@@ -40,17 +40,25 @@ from ..models.layers import GPLayerConfig
 from ..ops.linalg import cholesky_with_jitter, cho_solve, solve_triangular
 
 
+def _mm(a, b):
+    # ALL natgrad matmuls run full-f32 MXU passes: these [D, M, M] products
+    # build/update the variational covariance and its carried inverse, and
+    # single-pass bf16 (the TPU default) injects ~4e-3 relative error that
+    # measurably degrades converged ELBO (caught on the energy config:
+    # final ELBO -2258 vs -559). They are tiny (M <= a few hundred), so
+    # HIGHEST costs nothing.
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def natgrad_layer_ids(config, which: str = "final") -> tuple:
     """Indices of GP layers whose q(u) gets natural-gradient treatment.
 
     'final' (reference default), 'all', or 'none' (SURVEY.md §2.5 wiring).
+    Both the full-covariance family and the q_diag family are supported
+    (the diagonal natural gradient is elementwise — see natgrad_update).
     """
     gp_ids = [i for i, c in enumerate(config.layers)
               if isinstance(c, GPLayerConfig)]
-    if which != "none":
-        for i in gp_ids if which == "all" else gp_ids[-1:]:
-            assert not config.layers[i].q_diag, \
-                "natural gradients need the full-covariance q family"
     if which == "final":
         return (gp_ids[-1],)
     if which == "all":
@@ -73,8 +81,13 @@ def extract_natvars(params, layer_ids: Sequence[int]):
     """
     natvars = []
     for i in layer_ids:
-        L = jnp.tril(params["layers"][i]["q_sqrt"])  # [D, M, M]
-        S = L @ jnp.swapaxes(L, -1, -2)
+        q_sqrt = params["layers"][i]["q_sqrt"]
+        if q_sqrt.ndim == 2:  # q_diag family: [M, D] scales -> variances
+            natvars.append({"q_mu": params["layers"][i]["q_mu"],
+                            "q_v": jnp.square(q_sqrt)})
+            continue
+        L = jnp.tril(q_sqrt)                         # [D, M, M]
+        S = _mm(L, jnp.swapaxes(L, -1, -2))
         eye = jnp.eye(L.shape[-1], dtype=L.dtype)
         Sinv = cho_solve(L, jnp.broadcast_to(eye, S.shape))
         Sinv = 0.5 * (Sinv + jnp.swapaxes(Sinv, -1, -2))
@@ -101,8 +114,13 @@ def insert_natvars(params, natvars, layer_ids: Sequence[int],
     layers = list(params["layers"])
     for nv, i, cov in zip(natvars, layer_ids, cov_form):
         lp = {k: v for k, v in layers[i].items()
-              if k not in ("q_sqrt", "q_cov", "q_cov_logdet", "q_cov_Sinv")}
+              if k not in ("q_sqrt", "q_cov", "q_cov_diag", "q_cov_logdet",
+                           "q_cov_Sinv")}
         lp["q_mu"] = nv["q_mu"]
+        if "q_v" in nv:  # q_diag family: variance form, no factorization
+            lp["q_cov_diag"] = nv["q_v"]
+            layers[i] = lp
+            continue
         if cov:
             lp["q_cov"] = nv["q_S"]
             lp["q_cov_logdet"] = jax.lax.stop_gradient(nv["q_logdet"])
@@ -124,6 +142,22 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
     """
     new = []
     for nv, g in zip(natvars, nat_grads):
+        if "q_v" in nv:
+            # q_diag family: the same eta/theta step per element
+            # (m_i, v_i), closed form:
+            #   1/v' = 1/v + 2 gamma h,  h = dL/dv
+            #   m'   = v' * (m/v - gamma (dm - 2 h m))
+            # An element whose new precision would go non-positive (the
+            # too-large-gamma failure mode) keeps its old precision —
+            # the elementwise analog of the full-family jitter rescue.
+            m, v = nv["q_mu"], nv["q_v"]   # [M, D] each
+            dm, h = g["q_mu"], g["q_v"]
+            vinv_new = 1.0 / v + 2.0 * gamma * h
+            vinv_new = jnp.where(vinv_new > 0, vinv_new, 1.0 / v)
+            v_new = 1.0 / vinv_new
+            m_new = v_new * (m / v - gamma * (dm - 2.0 * h * m))
+            new.append({"q_mu": m_new, "q_v": v_new})
+            continue
         m = nv["q_mu"]                     # [M, D]
         S = nv["q_S"]                      # [D, M, M]
         Sinv = nv["q_Sinv"]                # [D, M, M] (carried; see extract)
@@ -133,8 +167,8 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         # per-dim column vectors: [D, M, 1]
         mT = jnp.swapaxes(m, 0, 1)[..., None]
         dmT = jnp.swapaxes(dm, 0, 1)[..., None]
-        Sinv_m = Sinv @ mT                             # [D, M, 1]
-        deta1 = dmT - 2.0 * (H @ mT)                   # [D, M, 1]
+        Sinv_m = _mm(Sinv, mT)                             # [D, M, 1]
+        deta1 = dmT - 2.0 * _mm(H, mT)                   # [D, M, 1]
         theta1_new = Sinv_m - gamma * deta1
         # S' = (S^-1 + 2 gamma H)^-1, via chol of the new precision;
         # the new precision IS the carried S^-1 for the next step.
@@ -148,12 +182,12 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         # construction.
         U = solve_triangular(Lp, jnp.broadcast_to(eye, S.shape), lower=True,
                              trans=True)                  # [D, M, M] = Lp^-T
-        S_new = U @ jnp.swapaxes(U, -1, -2)
-        m_new = jnp.swapaxes((S_new @ theta1_new)[..., 0], 0, 1)  # [M, D]
+        S_new = _mm(U, jnp.swapaxes(U, -1, -2))
+        m_new = jnp.swapaxes(_mm(S_new, theta1_new)[..., 0], 0, 1)  # [M, D]
         # carry the ACTUALLY-factorized precision Lp Lp^T (== P except when
         # the jitter rescue escalated, where P alone would drift from
         # S_new^-1 and the mismatch would persist across all later steps)
-        P_eff = Lp @ jnp.swapaxes(Lp, -1, -2)
+        P_eff = _mm(Lp, jnp.swapaxes(Lp, -1, -2))
         # log det S_new = -log det P_eff, free from Lp's diagonal
         logdet_new = -2.0 * jnp.sum(
             jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
@@ -164,12 +198,16 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
 
 
 def natvars_to_canonical(natvars, params, layer_ids: Sequence[int]):
-    """Store updated (m, S) back as canonical (q_mu, q_sqrt = chol S)."""
+    """Store updated (m, S) back as canonical (q_mu, q_sqrt = chol S;
+    q_sqrt = sqrt(v) for the q_diag family)."""
     layers = list(params["layers"])
     for nv, i in zip(natvars, layer_ids):
         lp = dict(layers[i])
         lp["q_mu"] = nv["q_mu"]
-        lp["q_sqrt"] = cholesky_with_jitter(nv["q_S"], 1e-10, max_tries=4)
+        if "q_v" in nv:
+            lp["q_sqrt"] = jnp.sqrt(nv["q_v"])
+        else:
+            lp["q_sqrt"] = cholesky_with_jitter(nv["q_S"], 1e-10, max_tries=4)
         layers[i] = lp
     out = dict(params)
     out["layers"] = layers

@@ -54,10 +54,11 @@ class TestQDiag:
         after = float(elbo(trained, cfg, X, Y, KEY))
         assert after > before + 1.0, (before, after)
 
-    def test_natgrad_rejected_for_qdiag(self):
+    def test_natgrad_supported_for_qdiag(self):
+        """q_diag natural gradients are supported (diagonal elementwise
+        family — see training/natgrad.py; was guarded out in round 1)."""
         cfg = DGPConfig(
             layers=(GPLayerConfig(d_in=2, d_out=1, num_inducing=4,
                                   final=True, q_diag=True),),
             num_data=10)
-        with pytest.raises(AssertionError):
-            natgrad_layer_ids(cfg, "final")
+        assert natgrad_layer_ids(cfg, "final") == (0,)
