@@ -84,7 +84,7 @@ def measure_tpu(chunks: int = 6, steps_per_call: int = 500):
                      minibatch_size=512, steps_per_call=steps_per_call)
     init_fn, _, chunk_fn, _ = make_trainer(config, tc)
     state = init_fn(params)
-    chunk_jit = jax.jit(chunk_fn, donate_argnums=(0,))
+    chunk_jit = jax.jit(chunk_fn)  # no donation: axon-backend bug, see train.py
 
     # XLA's model-FLOP estimate. cost_analysis counts the while (scan) body
     # ONCE regardless of trip count — verified: identical "flops" for

@@ -180,10 +180,11 @@ def fit(
     init_fn, _, chunk_fn, params_fn = make_trainer(config, tc)
     if state is None:
         state = init_fn(params)
-    # donate the carried state: the old buffers are dead after each chunk,
-    # and donation lets XLA update them in place instead of copying the
-    # whole (params + Adam moments + natgrad blocks) pytree every dispatch
-    chunk_jit = jax.jit(chunk_fn, donate_argnums=(0,))
+    # NOTE: no buffer donation here — donate_argnums on the chunk triggers
+    # 'TPU backend error (InvalidArgument)' at runtime on the axon PJRT
+    # backend for multi-GP-layer programs (reproduced on GG/kin8nm), and
+    # measured no speedup anyway (the scan carry already updates in place).
+    chunk_jit = jax.jit(chunk_fn)
     n_chunks = -(-tc.iterations // tc.steps_per_call)
     start_chunk = int(state.step) // tc.steps_per_call
     for c in range(start_chunk, n_chunks):
