@@ -144,11 +144,11 @@ def prefactor_gp_layers(params, config: DGPConfig) -> dict:
             _kern.K(params["layers"][i]["kernel"], params["layers"][i]["Z"],
                     params["layers"][i]["Z"], kind=config.layers[i].kernel_kind)
             for i in ids])
-        Lms = linalg.cholesky_with_jitter(Kuus, config.jitter,
-                                          max_tries=config.jitter_tries)
-        eye = jnp.eye(m, dtype=Lms.dtype)
-        Linvs = linalg.solve_triangular(
-            Lms, jnp.broadcast_to(eye, Lms.shape), lower=True)
+        # chol_and_inverse: one batched factorization + one batched solve
+        # forward; backward is pure batched matmuls (no triangular-solve
+        # custom calls on the reverse path — see ops/linalg.py)
+        Lms, Linvs = linalg.chol_and_inverse(Kuus, config.jitter,
+                                             config.jitter_tries)
         for j, i in enumerate(ids):
             out[i] = (Lms[j], Linvs[j])
     return out

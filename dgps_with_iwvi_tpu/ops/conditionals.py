@@ -38,6 +38,21 @@ from .linalg import cholesky_with_jitter, solve_triangular, DEFAULT_JITTER
 # A/B it; read at trace time.
 INVERSE_SOLVE = True
 
+# Rematerialize the q-variance quadratic form in the backward pass instead
+# of storing its [*, D, M, N] inner product (S A or q_sqrt^T A) as an AD
+# residual. MEASURED OFF (benchmarks/remat_ab.py, flagship shape, v5e):
+# although xprof shows the three quadratic-form ops HBM-bound on the 42 MB
+# residual (~149 us/step combined), jax.checkpoint'ing them is a net LOSS
+# (0.695 -> 0.751 ms/step at var_precision='high'; 0.586 -> 0.606 at
+# 'default') — the recomputed MXU passes plus XLA's remat scheduling cost
+# more than the avoided traffic. Kept as a trace-time switch for future
+# shapes (the residual scales linearly with B).
+REMAT_QVAR = False
+
+
+def _maybe_remat(fn):
+    return jax.checkpoint(fn) if REMAT_QVAR else fn
+
 
 class ConditionalOut(NamedTuple):
     mean: jax.Array  # [..., N, D]
@@ -100,8 +115,11 @@ def base_conditional_whitened(
             fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2), q_S,
                                 precision=vp)               # [..., N, D]
             return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
-        SA = jnp.matmul(q_S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
-        fvar_q = jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
+        def _qvar_cov(A, S):
+            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
+            return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
+
+        fvar_q = _maybe_remat(_qvar_cov)(A, q_S)
         return ConditionalOut(
             mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
     if q_sqrt.ndim == 2:
@@ -109,10 +127,14 @@ def base_conditional_whitened(
         fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
                             jnp.square(q_sqrt), precision=vp)  # [..., N, D]
         return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
-    # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
-    LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
-                     precision=vp)
-    fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
+
+    def _qvar_root(A, L):
+        # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
+        LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
+                         precision=vp)
+        return jnp.sum(jnp.square(LTA), axis=-2)           # [..., D, N]
+
+    fvar_q = _maybe_remat(_qvar_root)(A, q_sqrt)
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)  # [..., N, D]
     return ConditionalOut(mean, var)
 
@@ -149,13 +171,20 @@ def base_conditional(
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     if q_S is not None:  # covariance form (see base_conditional_whitened)
-        SA = jnp.matmul(q_S, A[..., None, :, :], precision=vp)
-        fvar_q = jnp.sum(A[..., None, :, :] * SA, axis=-2)
+        def _qvar_cov(A, S):
+            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)
+            return jnp.sum(A[..., None, :, :] * SA, axis=-2)
+
+        fvar_q = _maybe_remat(_qvar_cov)(A, q_S)
         return ConditionalOut(
             mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
-    LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A[..., None, :, :],
-                     precision=vp)
-    fvar_q = jnp.sum(jnp.square(LTA), axis=-2)             # [..., D, N]
+
+    def _qvar_root(A, L):
+        LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
+                         precision=vp)
+        return jnp.sum(jnp.square(LTA), axis=-2)           # [..., D, N]
+
+    fvar_q = _maybe_remat(_qvar_root)(A, q_sqrt)
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)
     return ConditionalOut(mean, var)
 

@@ -11,6 +11,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _logdet_sq_diag(L: jax.Array) -> jax.Array:
+    """sum log diag(L)^2 over ALL axes, differentiably TPU-friendly.
+
+    jnp.diagonal's transpose rule is a scatter-add — measured ~36 us/step of
+    scatter + layout-copy traffic on [D, M, M] operands in the flagship
+    profile. Extracting the diagonal as an eye-masked reduction instead
+    keeps the backward a broadcast multiply that fuses away.
+    """
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    diag = jnp.sum(L * eye, axis=-1)                        # [..., M]
+    return jnp.sum(jnp.log(jnp.square(diag)))
+
+
 def gauss_kl_white(q_mu: jax.Array, q_sqrt: jax.Array) -> jax.Array:
     """KL( N(q_mu, L L^T) || N(0, I) ), summed over output dims.
 
@@ -23,7 +36,7 @@ def gauss_kl_white(q_mu: jax.Array, q_sqrt: jax.Array) -> jax.Array:
     L = jnp.tril(q_sqrt)
     mahal = jnp.sum(jnp.square(q_mu))
     trace = jnp.sum(jnp.square(L))
-    logdet = jnp.sum(jnp.log(jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1))))
+    logdet = _logdet_sq_diag(L)
     return 0.5 * (mahal + trace - M * D - logdet)
 
 
@@ -58,7 +71,9 @@ def gauss_kl_white_cov(q_mu: jax.Array, q_S: jax.Array,
     Matches gauss_kl_white(q_mu, chol(S)) exactly (tested)."""
     M, D = q_mu.shape
     mahal = jnp.sum(jnp.square(q_mu))
-    trace = jnp.sum(jnp.diagonal(q_S, axis1=-2, axis2=-1))
+    # eye-masked trace: diagonal()'s transpose is a scatter-add (see
+    # _logdet_sq_diag); the mask keeps the backward an elementwise broadcast
+    trace = jnp.sum(q_S * jnp.eye(M, dtype=q_S.dtype))
     logdet = jnp.sum(carried_logdet(q_S, logdet_val, Sinv))
     return 0.5 * (mahal + trace - M * D - logdet)
 
@@ -75,7 +90,7 @@ def gauss_kl_cov(q_mu: jax.Array, q_S: jax.Array, logdet_val: jax.Array,
     alpha = solve_triangular(Lm, q_mu, lower=True)
     mahal = jnp.sum(jnp.square(alpha))
     KiS = cho_solve(Lm, q_S)                                # [D, M, M]
-    trace = jnp.sum(jnp.diagonal(KiS, axis1=-2, axis2=-1))
+    trace = jnp.sum(KiS * jnp.eye(M, dtype=KiS.dtype))
     logdet_q = jnp.sum(carried_logdet(q_S, logdet_val, Sinv))
     logdet_p = D * 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
     return 0.5 * (mahal + trace - M * D + logdet_p - logdet_q)
@@ -109,9 +124,9 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array, Lm: jax.Array) -> jax.Array:
     # tr(Kuu^-1 S) = || Lm^-1 L ||_F^2 per dim
     LiL = solve_triangular(Lm, L, lower=True)               # [D, M, M]
     trace = jnp.sum(jnp.square(LiL))
-    logdet_q = jnp.sum(jnp.log(jnp.square(
-        jnp.diagonal(L, axis1=-2, axis2=-1))))
-    logdet_p = D * 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
+    logdet_q = _logdet_sq_diag(L)
+    logdet_p = D * jnp.sum(jnp.log(jnp.square(
+        jnp.sum(Lm * jnp.eye(Lm.shape[-1], dtype=Lm.dtype), axis=-1))))
     return 0.5 * (mahal + trace - M * D + logdet_p - logdet_q)
 
 

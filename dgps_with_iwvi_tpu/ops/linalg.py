@@ -56,7 +56,8 @@ def _chol_reuse_bwd(L, L_bar):
     # jnp.linalg.cholesky's convention) — verified against jax.vjp in tests.
     M = jnp.matmul(jnp.swapaxes(L, -1, -2), jnp.tril(L_bar),
                    precision=jax.lax.Precision.HIGHEST)
-    phi = jnp.tril(M) - 0.5 * _diag_embed(jnp.diagonal(M, axis1=-2, axis2=-1))
+    # tril(M) - 0.5 diag(M) as pure elementwise masking (no gather/scatter)
+    phi = jnp.tril(M) - 0.5 * M * jnp.eye(M.shape[-1], dtype=M.dtype)
     # A_bar = L^-T phi L^-1: two triangular solves
     tmp = lax.linalg.triangular_solve(L, phi, left_side=True, lower=True,
                                       transpose_a=True)
@@ -66,10 +67,6 @@ def _chol_reuse_bwd(L, L_bar):
     A_bar = jnp.swapaxes(A_bar, -1, -2)
     A_bar = 0.5 * (A_bar + jnp.swapaxes(A_bar, -1, -2))
     return A_bar, jnp.zeros_like(L)
-
-
-def _diag_embed(d: jax.Array) -> jax.Array:
-    return d[..., :, None] * jnp.eye(d.shape[-1], dtype=d.dtype)
 
 
 _chol_reuse.defvjp(_chol_reuse_fwd, _chol_reuse_bwd)
@@ -145,6 +142,60 @@ def cholesky_with_jitter(
         return jnp.linalg.cholesky(K + jit_sel[..., None, None] * eye)
 
     return jax.lax.cond(all_ok, _fast, _rescue, None)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def chol_and_inverse(K: jax.Array, jitter: float = DEFAULT_JITTER,
+                     max_tries: int = 4) -> tuple[jax.Array, jax.Array]:
+    """(L, L^-1) of K + jitter*I with rescue escalation, backward in matmuls.
+
+    The hot-path pairing: every GP layer needs BOTH the Cholesky factor of
+    Kuu and its triangular inverse (the wide-solve trick turns conditionals
+    into Linv matmuls). Differentiating the pair naively costs three extra
+    TPU triangular-solve custom calls in the backward pass (the solve's
+    transpose rule + the two solves inside the Cholesky pullback), each
+    latency-bound and batch-serialized (~10-20 us). Since the forward
+    already produced Linv, the ENTIRE backward collapses to batched MXU
+    matmuls:
+
+        L_bar += -Linv^T @ Linv_bar @ Linv^T        (inverse pullback)
+        phi    = tril(L^T L_bar) - 1/2 diag(...)    (Cholesky pullback)
+        K_bar  = sym(Linv^T @ phi @ Linv)
+
+    Values and gradients match cholesky_with_jitter + solve_triangular
+    exactly (tested); only the backward op schedule differs.
+    """
+    L = cholesky_with_jitter(K, jitter, max_tries=max_tries)
+    Linv = solve_triangular(
+        L, jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape),
+        lower=True)
+    return L, Linv
+
+
+def _chol_inv_fwd(K, jitter, max_tries):
+    L, Linv = chol_and_inverse(K, jitter, max_tries)
+    return (L, Linv), (L, Linv)
+
+
+def _chol_inv_bwd(jitter, max_tries, res, bars):
+    L, Linv = res
+    L_bar, Linv_bar = bars
+    hp = jax.lax.Precision.HIGHEST
+    LinvT = jnp.swapaxes(Linv, -1, -2)
+    # pullback of Linv = L^-1: <Linv_bar, -Linv dL Linv>
+    L_bar = jnp.tril(L_bar) - jnp.tril(
+        jnp.matmul(LinvT, jnp.matmul(Linv_bar, LinvT, precision=hp),
+                   precision=hp))
+    # standard Cholesky pullback at L, with the solves replaced by Linv
+    M = jnp.matmul(jnp.swapaxes(L, -1, -2), L_bar, precision=hp)
+    phi = jnp.tril(M) - 0.5 * M * jnp.eye(M.shape[-1], dtype=M.dtype)
+    K_bar = jnp.matmul(LinvT, jnp.matmul(phi, Linv, precision=hp),
+                       precision=hp)
+    K_bar = 0.5 * (K_bar + jnp.swapaxes(K_bar, -1, -2))
+    return (K_bar,)
+
+
+chol_and_inverse.defvjp(_chol_inv_fwd, _chol_inv_bwd)
 
 
 def solve_triangular(L: jax.Array, B: jax.Array, *, lower: bool = True,

@@ -177,6 +177,46 @@ class TestLinalg:
         assert np.isfinite(float(run(good)))
         assert np.isfinite(float(run(bad)))
 
+    def test_chol_and_inverse_values_and_grads(self):
+        """chol_and_inverse must match (cholesky_with_jitter, solve) in
+        values AND gradients — its backward replaces the three
+        triangular-solve custom calls with Linv matmuls (hot-path op
+        schedule change only). Checked single and batched, through both
+        outputs."""
+        rng = np.random.RandomState(3)
+        A0 = rng.randn(6, 6)
+        K1 = jnp.asarray(A0 @ A0.T + 4 * np.eye(6))
+        Kb = jnp.stack([K1, 2.0 * K1 + jnp.eye(6)])
+
+        def ref(K):
+            L = linalg.cholesky_with_jitter(K, 1e-6, max_tries=4)
+            eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+            Linv = linalg.solve_triangular(
+                L, jnp.broadcast_to(eye, K.shape), lower=True)
+            return L, Linv
+
+        for Kmat in (K1, Kb):
+            L, Linv = linalg.chol_and_inverse(Kmat, 1e-6, 4)
+            Lr, Linvr = ref(Kmat)
+            np.testing.assert_allclose(np.asarray(L), np.asarray(Lr),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(Linv), np.asarray(Linvr),
+                                       atol=1e-12)
+            # gradient through BOTH outputs with distinct weights
+            w1, w2 = 0.7, -1.3
+
+            def f_new(K):
+                L, Li = linalg.chol_and_inverse(K, 1e-6, 4)
+                return w1 * jnp.sum(jnp.sin(L)) + w2 * jnp.sum(jnp.cos(Li))
+
+            def f_ref(K):
+                L, Li = ref(K)
+                return w1 * jnp.sum(jnp.sin(L)) + w2 * jnp.sum(jnp.cos(Li))
+
+            np.testing.assert_allclose(np.asarray(jax.grad(f_new)(Kmat)),
+                                       np.asarray(jax.grad(f_ref)(Kmat)),
+                                       rtol=1e-6, atol=1e-10)
+
     def test_solve_and_cho_solve(self):
         A = _rand(KEY, 5, 5)
         Kmat = A @ A.T + 3.0 * jnp.eye(5)
