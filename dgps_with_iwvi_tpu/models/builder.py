@@ -47,7 +47,7 @@ class BuildArgs:
     # (see ops/priors.py); () = off, matching the reference defaults
     priors: tuple = ()
     # q-variance matmul MXU precision (see DGPConfig.var_precision)
-    var_precision: str = "high"
+    var_precision: str = "default"
 
 
 # friendly prior-target names -> parameter-path suffixes (ops/priors.py)

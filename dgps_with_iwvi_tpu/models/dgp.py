@@ -70,14 +70,20 @@ class DGPConfig:
     # Model objective = likelihood + prior (SURVEY.md §2.2). Empty = off.
     priors: tuple = ()
     # MXU precision for the q-variance matmuls ONLY (the FLOP-dominant
-    # (q_sqrt^T A) contraction — a cancellation-free sum of squares):
-    # 'highest' (bf16x6), 'high' (bf16x3), 'default' (single-pass bf16).
-    # The gram/solve/mean path always runs HIGHEST. Measured at the flagship
-    # shape (LGG K=20 M=128 B=512, v5e): 'high' leaves the ELBO within 6e-8
-    # relative of 'highest', training quality identical over 3k steps
-    # (test loglik 0.1745 vs 0.1759, ELBO -4460 vs -4466), and removes
-    # ~0.13 ms/step of MXU time; hence 'high' is the default.
-    var_precision: str = "high"
+    # (q_sqrt^T A) / (S A) contraction — a cancellation-free sum of squares
+    # accumulated in f32 on the MXU): 'highest' (bf16x6), 'high' (bf16x3),
+    # 'default' (single-pass bf16). The gram/solve/mean path always runs
+    # HIGHEST (catastrophic cancellation there), and ALL natgrad matmuls
+    # stay HIGHEST (training/natgrad.py — measured failure mode otherwise).
+    # Round-1 measurement: 'high' leaves the ELBO within 6e-8 relative of
+    # 'highest' with identical 3k-step training quality. Round-2
+    # measurement (15k-step full-convergence A/B on LG-energy, LG-kin8nm,
+    # LGG-kin8nm, GG-energy): 'default' matches 'high' in converged ELBO
+    # (<=0.02% delta, sign varies) and test NLL/RMSE (<=0.002 nats), and
+    # removes ~110 us/step at the flagship shape (0.695 -> 0.586 ms, +19%);
+    # hence 'default' is the default. Set 'high'/'highest' to re-verify on
+    # a new dataset family.
+    var_precision: str = "default"
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")

@@ -50,6 +50,11 @@ class TrainConfig:
     minibatch_size: int = 512
     iterations: int = 10000
     steps_per_call: int = 100
+    # lax.scan unroll factor for the chunk: >1 amortizes the while-loop
+    # bookkeeping XLA puts on every iteration (measured ~24 us/step of
+    # while-op self time at the flagship shape) at the cost of a bigger
+    # program; steps_per_call should be divisible by it.
+    scan_unroll: int = 1
 
 
 def gamma_schedule(tc: "TrainConfig", step):
@@ -150,7 +155,8 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
             k = jax.random.fold_in(key, i)
             st, loss = step_fn(st, X, Y, k)
             return st, loss
-        return jax.lax.scan(body, state, jnp.arange(tc.steps_per_call))
+        return jax.lax.scan(body, state, jnp.arange(tc.steps_per_call),
+                            unroll=tc.scan_unroll)
 
     def params_fn(state: TrainState):
         if not layer_ids:
