@@ -4,8 +4,9 @@
 Config (BASELINE.md north star): 2-layer latent-variable DGP ('LGG'),
 K=20 IW samples, amortized encoder, M=128 inducing points, minibatch 512,
 kin8nm-shaped data (N=7372, D=8), natural-gradient q(u) + Adam — trained as
-scan-chunked jitted steps on the TPU (steps_per_call=500 so the ~25 ms
-host->device dispatch latency of the tunnel amortizes to <0.1 ms/step).
+scan-chunked jitted steps on the TPU (steps_per_call=2000 so the ~30 ms
+host->device round trip of the tunnel amortizes to ~15 us/step; the
+on-device step itself is ~0.40 ms).
 
 Robustness (VERDICT r1 item 8): each chunk is timed separately after two
 warm rounds and the MEDIAN chunk rate is reported, so a single
@@ -66,7 +67,7 @@ def _device_peak() -> tuple[str, float | None]:
     return kind, None
 
 
-def measure_tpu(chunks: int = 6, steps_per_call: int = 500):
+def measure_tpu(chunks: int = 6, steps_per_call: int = 2000):
     """Returns (median steps/s, flops/step or None, device kind, peak)."""
     import numpy as np
 
