@@ -45,8 +45,11 @@ def evaluate(
 
     @jax.jit
     def batch_eval(xb, yb, k):
-        ld = dgp.predict_log_density(params, config, xb, yb, k, num_samples)
-        mean, _ = dgp.predict_y(params, config, xb, k, num_samples)
+        # one propagate for BOTH the density and the moments (identical
+        # results to separate predict_log_density/predict_y calls with the
+        # same key, at half the compute)
+        (mean, _), ld = dgp.predict_y_and_log_density(
+            params, config, xb, yb, k, num_samples)
         return ld, mean
 
     lds, err_chunks = [], []

@@ -15,6 +15,7 @@ from .dgp import (
     predict_f_full_cov,
     predict_log_density,
     predict_y,
+    predict_y_and_log_density,
     propagate,
 )
 from .layers import GPLayerConfig, LatentVarMode, LVLayerConfig
@@ -36,5 +37,6 @@ __all__ = [
     "predict_f_full_cov",
     "predict_log_density",
     "predict_y",
+    "predict_y_and_log_density",
     "propagate",
 ]

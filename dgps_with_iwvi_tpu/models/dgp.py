@@ -347,3 +347,25 @@ def predict_log_density(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
     logp = likelihoods.dispatch_predict_density(
         params["likelihood"], fmean, fvar, Y, kind=config.likelihood)  # [S, B]
     return jax.nn.logsumexp(logp, axis=0) - jnp.log(float(S))
+
+
+def predict_y_and_log_density(params, config: DGPConfig, X: jax.Array,
+                              Y: jax.Array, key: jax.Array,
+                              num_samples: int | None = None):
+    """One-propagate serving/eval path: mixture predictive moments AND the
+    per-point mixture log-density from the SAME S prior-latent samples.
+
+    Identical outputs to calling predict_y and predict_log_density with the
+    same key (they each re-propagate; this shares the pass — the evaluation
+    loop and a production scorer both want the pair). Returns
+    ((mix_mean, mix_var), log_density)."""
+    S = num_samples or config.num_samples
+    fmean, fvar = predict_f(params, config, X, key, S)
+    m, v = likelihoods.dispatch_predict_mean_and_var(
+        params["likelihood"], fmean, fvar, kind=config.likelihood)
+    mix_mean = jnp.mean(m, axis=0)
+    mix_var = jnp.mean(v + jnp.square(m), axis=0) - jnp.square(mix_mean)
+    logp = likelihoods.dispatch_predict_density(
+        params["likelihood"], fmean, fvar, Y, kind=config.likelihood)  # [S, B]
+    ld = jax.nn.logsumexp(logp, axis=0) - jnp.log(float(S))
+    return (mix_mean, mix_var), ld
