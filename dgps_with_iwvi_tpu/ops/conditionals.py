@@ -40,18 +40,25 @@ INVERSE_SOLVE = True
 
 # Rematerialize the q-variance quadratic form in the backward pass instead
 # of storing its [*, D, M, N] inner product (S A or q_sqrt^T A) as an AD
-# residual. MEASURED OFF (benchmarks/remat_ab.py, flagship shape, v5e):
-# although xprof shows the three quadratic-form ops HBM-bound on the 42 MB
-# residual (~149 us/step combined), jax.checkpoint'ing them is a net LOSS
-# (0.695 -> 0.751 ms/step at var_precision='high'; 0.586 -> 0.606 at
-# 'default') — the recomputed MXU passes plus XLA's remat scheduling cost
-# more than the avoided traffic. Kept as a trace-time switch for future
-# shapes (the residual scales linearly with B).
-REMAT_QVAR = False
+# residual. SHAPE-DEPENDENT, measured on v5e (benchmarks/remat_ab.py +
+# the year-config A/B):
+#   flagship LGG K=20 (residual 42 MB):  remat LOSES  (0.586 -> 0.606 ms)
+#   year LGGG K=50, D=30 (residual 98 MB): remat WINS (4.72 -> 3.18 ms,
+#   +49% steps/s — those ops sit at the roofline ridge on the residual
+#   write; recomputing the one [D,M,M]x[M,cols] dot makes them MXU-bound).
+# "auto" (default) remats exactly when the stored inner product would
+# exceed REMAT_QVAR_THRESHOLD_BYTES, placed between the two measured
+# points. True/False force it for A/B.
+REMAT_QVAR: bool | str = "auto"
+REMAT_QVAR_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
-def _maybe_remat(fn):
-    return jax.checkpoint(fn) if REMAT_QVAR else fn
+def _maybe_remat(fn, residual_bytes: int):
+    if REMAT_QVAR == "auto":
+        do = residual_bytes > REMAT_QVAR_THRESHOLD_BYTES
+    else:
+        do = bool(REMAT_QVAR)
+    return jax.checkpoint(fn) if do else fn
 
 
 class ConditionalOut(NamedTuple):
@@ -119,7 +126,8 @@ def base_conditional_whitened(
             SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
             return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
 
-        fvar_q = _maybe_remat(_qvar_cov)(A, q_S)
+        res_bytes = q_S.shape[0] * n_cols * m * Kuf.dtype.itemsize
+        fvar_q = _maybe_remat(_qvar_cov, res_bytes)(A, q_S)
         return ConditionalOut(
             mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
     if q_sqrt.ndim == 2:
@@ -134,7 +142,8 @@ def base_conditional_whitened(
                          precision=vp)
         return jnp.sum(jnp.square(LTA), axis=-2)           # [..., D, N]
 
-    fvar_q = _maybe_remat(_qvar_root)(A, q_sqrt)
+    res_bytes = q_sqrt.shape[0] * n_cols * m * Kuf.dtype.itemsize
+    fvar_q = _maybe_remat(_qvar_root, res_bytes)(A, q_sqrt)
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)  # [..., N, D]
     return ConditionalOut(mean, var)
 
@@ -170,12 +179,17 @@ def base_conditional(
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
+    n_cols = 1
+    for s in (*Kuf.shape[:-2], Kuf.shape[-1]):
+        n_cols *= s
+    m = Lm.shape[-1]
     if q_S is not None:  # covariance form (see base_conditional_whitened)
         def _qvar_cov(A, S):
             SA = jnp.matmul(S, A[..., None, :, :], precision=vp)
             return jnp.sum(A[..., None, :, :] * SA, axis=-2)
 
-        fvar_q = _maybe_remat(_qvar_cov)(A, q_S)
+        res_bytes = q_S.shape[0] * n_cols * m * Kuf.dtype.itemsize
+        fvar_q = _maybe_remat(_qvar_cov, res_bytes)(A, q_S)
         return ConditionalOut(
             mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
 
@@ -184,7 +198,8 @@ def base_conditional(
                          precision=vp)
         return jnp.sum(jnp.square(LTA), axis=-2)           # [..., D, N]
 
-    fvar_q = _maybe_remat(_qvar_root)(A, q_sqrt)
+    res_bytes = q_sqrt.shape[0] * n_cols * m * Kuf.dtype.itemsize
+    fvar_q = _maybe_remat(_qvar_root, res_bytes)(A, q_sqrt)
     var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)
     return ConditionalOut(mean, var)
 

@@ -276,6 +276,28 @@ class TestPrediction:
         expected = np.log(np.exp(logp).mean(0))
         np.testing.assert_allclose(np.asarray(ld), expected, rtol=1e-6)
 
+    def test_fused_serving_pair_matches_separate_calls(self):
+        """predict_y_and_log_density (one propagate) must equal predict_y +
+        predict_log_density called with the SAME key (the eval loop and the
+        serving scorer rely on this identity)."""
+        from dgps_with_iwvi_tpu.models import predict_y_and_log_density
+
+        X, Y = _toy_data(9, 2)
+        cfg = DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=2, d_out=2, num_inducing=6),
+                GPLayerConfig(d_in=2, d_out=1, num_inducing=6, final=True),
+            ),
+            num_data=9, num_samples=32)
+        params = init_dgp(KEY, cfg, inner_q_sqrt_scale=0.5, dtype=jnp.float64)
+        k = jax.random.PRNGKey(11)
+        (m, v), ld = predict_y_and_log_density(params, cfg, X, Y, k)
+        m2, v2 = predict_y(params, cfg, X, k)
+        ld2 = predict_log_density(params, cfg, X, Y, k)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ld2), rtol=1e-12)
+
 
 class TestFullCovPrediction:
     def test_marginals_match_and_psd(self):
