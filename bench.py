@@ -68,7 +68,8 @@ def _device_peak() -> tuple[str, float | None]:
 
 
 def measure_tpu(chunks: int = 6, steps_per_call: int = 2000):
-    """Returns (median steps/s, flops/step or None, device kind, peak)."""
+    """Returns (median steps/s, flops/step or None, device kind, peak,
+    per-chunk rates list)."""
     import numpy as np
 
     from dgps_with_iwvi_tpu.data import get_regression_data

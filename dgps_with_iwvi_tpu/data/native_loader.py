@@ -77,7 +77,11 @@ def _parse_table_numpy(path: str) -> np.ndarray:
                     continue
                 raise
             rows.append(vals)
-    if rows and any(len(r) != len(rows[0]) for r in rows):
+    if not rows:
+        raise ValueError(
+            f"{path}: no numeric rows parsed (empty file, or every line was "
+            "non-numeric/comment — is this the right file format?)")
+    if any(len(r) != len(rows[0]) for r in rows):
         raise ValueError(f"{path}: ragged rows")
     return np.asarray(rows, np.float64).reshape(len(rows), -1)
 

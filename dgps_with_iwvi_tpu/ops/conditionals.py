@@ -61,6 +61,56 @@ def _maybe_remat(fn, residual_bytes: int):
     return jax.checkpoint(fn) if do else fn
 
 
+def _var_prec(var_precision: str | None) -> jax.lax.Precision:
+    hp = jax.lax.Precision.HIGHEST
+    return {None: hp, "highest": hp,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[var_precision]
+
+
+def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
+    """diag of the q-covariance quadratic form: A [..., M, N] -> [..., N, D].
+
+    One implementation for every family and both parameterizations
+    (whitened and non-whitened consume it identically — only A differs):
+    - q_S [D, M, M]: covariance form (natgrad state), sum_M A * (S A)
+    - q_S [M, D]:    diagonal covariance form (variances directly)
+    - q_sqrt [D, M, M]: root form, sum_M (q_sqrt^T A)^2
+    - q_sqrt [M, D]:    q_diag scales, (A^2)^T s^2
+    The [D, M, cols] inner product of the 3-D families is rematerialized in
+    the backward pass per the REMAT_QVAR policy (see module header).
+    """
+    m = A.shape[-2]
+    n_cols = 1
+    for s in (*A.shape[:-2], A.shape[-1]):
+        n_cols *= s
+    if q_S is not None:
+        if q_S.ndim == 2:
+            return jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2), q_S,
+                              precision=vp)                 # [..., N, D]
+
+        def _qvar_cov(A, S):
+            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
+            return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
+
+        res_bytes = q_S.shape[0] * n_cols * m * A.dtype.itemsize
+        fvar_q = _maybe_remat(_qvar_cov, res_bytes)(A, q_S)
+        return jnp.swapaxes(fvar_q, -1, -2)
+    if q_sqrt.ndim == 2:
+        return jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
+                          jnp.square(q_sqrt), precision=vp)  # [..., N, D]
+
+    def _qvar_root(A, L):
+        # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
+        LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
+                         precision=vp)
+        return jnp.sum(jnp.square(LTA), axis=-2)            # [..., D, N]
+
+    res_bytes = q_sqrt.shape[0] * n_cols * m * A.dtype.itemsize
+    fvar_q = _maybe_remat(_qvar_root, res_bytes)(A, q_sqrt)
+    return jnp.swapaxes(fvar_q, -1, -2)
+
+
 class ConditionalOut(NamedTuple):
     mean: jax.Array  # [..., N, D]
     var: jax.Array   # [..., N, D] (marginal) or [..., D, N, N] (full_cov)
@@ -96,9 +146,7 @@ def base_conditional_whitened(
     instead; one optimizer step breaks that symmetry anyway.
     """
     hp = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: GP moments cancel
-    vp = {None: hp, "highest": hp,
-          "high": jax.lax.Precision.HIGH,
-          "default": jax.lax.Precision.DEFAULT}[var_precision]
+    vp = _var_prec(var_precision)
     # Wide solves (many K*S*B columns against one small well-conditioned
     # jittered factor): invert Lm once ([M, M] solve) and turn the wide
     # sequential triangular solve — and its whole backward pass — into pure
@@ -116,36 +164,8 @@ def base_conditional_whitened(
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
-    if q_S is not None:
-        if q_S.ndim == 2:
-            # diagonal covariance form: q_S [M, D] holds variances directly
-            fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2), q_S,
-                                precision=vp)               # [..., N, D]
-            return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
-        def _qvar_cov(A, S):
-            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
-            return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
-
-        res_bytes = q_S.shape[0] * n_cols * m * Kuf.dtype.itemsize
-        fvar_q = _maybe_remat(_qvar_cov, res_bytes)(A, q_S)
-        return ConditionalOut(
-            mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
-    if q_sqrt.ndim == 2:
-        # q_diag: q_sqrt [M, D] holds diagonal scales; var_q = (A^2)^T s^2
-        fvar_q = jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
-                            jnp.square(q_sqrt), precision=vp)  # [..., N, D]
-        return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
-
-    def _qvar_root(A, L):
-        # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
-        LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
-                         precision=vp)
-        return jnp.sum(jnp.square(LTA), axis=-2)           # [..., D, N]
-
-    res_bytes = q_sqrt.shape[0] * n_cols * m * Kuf.dtype.itemsize
-    fvar_q = _maybe_remat(_qvar_root, res_bytes)(A, q_sqrt)
-    var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)  # [..., N, D]
-    return ConditionalOut(mean, var)
+    fvar_q = _q_variance(A, q_sqrt, q_S, vp)                 # [..., N, D]
+    return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
 
 
 def base_conditional(
@@ -172,36 +192,13 @@ def base_conditional(
                                          var_precision=var_precision,
                                          q_S=q_S)
     hp = jax.lax.Precision.HIGHEST
-    vp = {None: hp, "highest": hp,
-          "high": jax.lax.Precision.HIGH,
-          "default": jax.lax.Precision.DEFAULT}[var_precision]
+    vp = _var_prec(var_precision)
     A1 = solve_triangular(Lm, Kuf, lower=True)             # [..., M, N]
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
-    n_cols = 1
-    for s in (*Kuf.shape[:-2], Kuf.shape[-1]):
-        n_cols *= s
-    m = Lm.shape[-1]
-    if q_S is not None:  # covariance form (see base_conditional_whitened)
-        def _qvar_cov(A, S):
-            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)
-            return jnp.sum(A[..., None, :, :] * SA, axis=-2)
-
-        res_bytes = q_S.shape[0] * n_cols * m * Kuf.dtype.itemsize
-        fvar_q = _maybe_remat(_qvar_cov, res_bytes)(A, q_S)
-        return ConditionalOut(
-            mean, fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2))
-
-    def _qvar_root(A, L):
-        LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
-                         precision=vp)
-        return jnp.sum(jnp.square(LTA), axis=-2)           # [..., D, N]
-
-    res_bytes = q_sqrt.shape[0] * n_cols * m * Kuf.dtype.itemsize
-    fvar_q = _maybe_remat(_qvar_root, res_bytes)(A, q_sqrt)
-    var = fvar_prior[..., None] + jnp.swapaxes(fvar_q, -1, -2)
-    return ConditionalOut(mean, var)
+    fvar_q = _q_variance(A, q_sqrt, q_S, vp)               # [..., N, D]
+    return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
 
 
 def base_conditional_whitened_fullcov(

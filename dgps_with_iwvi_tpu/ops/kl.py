@@ -92,7 +92,7 @@ def gauss_kl_cov(q_mu: jax.Array, q_S: jax.Array, logdet_val: jax.Array,
     KiS = cho_solve(Lm, q_S)                                # [D, M, M]
     trace = jnp.sum(KiS * jnp.eye(M, dtype=KiS.dtype))
     logdet_q = jnp.sum(carried_logdet(q_S, logdet_val, Sinv))
-    logdet_p = D * 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
+    logdet_p = D * _logdet_sq_diag(Lm)
     return 0.5 * (mahal + trace - M * D + logdet_p - logdet_q)
 
 
@@ -125,8 +125,7 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array, Lm: jax.Array) -> jax.Array:
     LiL = solve_triangular(Lm, L, lower=True)               # [D, M, M]
     trace = jnp.sum(jnp.square(LiL))
     logdet_q = _logdet_sq_diag(L)
-    logdet_p = D * jnp.sum(jnp.log(jnp.square(
-        jnp.sum(Lm * jnp.eye(Lm.shape[-1], dtype=Lm.dtype), axis=-1))))
+    logdet_p = D * _logdet_sq_diag(Lm)
     return 0.5 * (mahal + trace - M * D + logdet_p - logdet_q)
 
 

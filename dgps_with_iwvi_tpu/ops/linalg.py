@@ -119,10 +119,19 @@ def cholesky_with_jitter(
     # under a zero cotangent.)
     Kj = add_jitter(K, jnp.asarray(jitter, K.dtype))
     L_probe = jnp.linalg.cholesky(jax.lax.stop_gradient(Kj))
-    all_ok = jnp.all(_chol_ok(L_probe))
+    probe_ok = _chol_ok(L_probe)
+    all_ok = jnp.all(probe_ok)
 
     def _fast(_):
-        return _chol_reuse(Kj, L_probe)
+        # Sanitize failed probe factors with I before the reuse pullback.
+        # When the cond is actually TAKEN on this branch every element is
+        # ok and this is the identity; but under vmap a batched-predicate
+        # cond lowers to a select that EXECUTES both branches, and a NaN
+        # L_probe here would poison the backward pass (NaN * 0 = NaN
+        # through _chol_reuse_bwd's matmuls) even though the select masks
+        # this branch's value out for that element.
+        L_safe = jnp.where(probe_ok[..., None, None], L_probe, eye)
+        return _chol_reuse(Kj, L_safe)
 
     def _rescue(_):
         # selection pass (no AD): factorize ALL escalation levels as ONE

@@ -58,7 +58,17 @@ def restore_checkpoint(ckpt_dir: str, step: int, like: Any):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, like)
+        try:
+            return ckptr.restore(path, like)
+        except Exception as e:
+            # the natgrad state layout evolved during development (e.g. the
+            # carried q_logdet entry); orbax reports a bare tree-structure
+            # mismatch — say what it usually means
+            raise RuntimeError(
+                f"restore of {path} failed — most likely the checkpoint was "
+                "written by an older build with a different TrainState "
+                "layout (natvars entries changed across versions). "
+                "Retrain or restart without --resume.") from e
     npz = path + ".npz"
     data = np.load(npz, allow_pickle=False)
     leaves = [data[k] for k in data.files if k != "treedef"]

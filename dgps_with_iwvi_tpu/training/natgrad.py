@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.layers import GPLayerConfig
-from ..ops.linalg import cholesky_with_jitter, cho_solve, solve_triangular
+from ..ops.linalg import (cholesky_with_jitter, cho_solve, log_det_from_chol,
+                          solve_triangular)
 
 
 def _mm(a, b):
@@ -189,8 +190,7 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         # S_new^-1 and the mismatch would persist across all later steps)
         P_eff = _mm(Lp, jnp.swapaxes(Lp, -1, -2))
         # log det S_new = -log det P_eff, free from Lp's diagonal
-        logdet_new = -2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
+        logdet_new = -log_det_from_chol(Lp)
         new.append({"q_mu": m_new, "q_S": S_new,
                     "q_Sinv": 0.5 * (P_eff + jnp.swapaxes(P_eff, -1, -2)),
                     "q_logdet": logdet_new})

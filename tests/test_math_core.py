@@ -157,6 +157,28 @@ class TestLinalg:
                 np.asarray(_chol_reuse_bwd(L, Lbar)[0]),
                 np.asarray(pull(Lbar)[0]), atol=1e-14)
 
+    def test_rescue_under_vmap_gradients_finite(self):
+        """vmap lowers a batched-predicate lax.cond to a select that runs
+        BOTH branches: for an element whose probe factorization failed, the
+        fast branch must not leak NaNs into the backward pass (its probe
+        factor is sanitized before the reuse pullback), and the good
+        element's gradient must equal the unbatched fast-path gradient."""
+        A = _rand(KEY, 4, 4)
+        good = (A @ A.T + 3.0 * jnp.eye(4)).astype(jnp.float32)
+        v = jnp.linspace(0.5, 1.5, 4, dtype=jnp.float32)[:, None]
+        bad = (v @ v.T).astype(jnp.float32)  # rank 1: probe fails at 1e-7
+        Ks = jnp.stack([good, bad])
+
+        def f(K):
+            L = linalg.cholesky_with_jitter(K, 1e-7, max_tries=6)
+            return jnp.sum(jnp.square(L))
+
+        g = jax.vmap(jax.grad(f))(Ks)
+        assert bool(jnp.all(jnp.isfinite(g))), g
+        np.testing.assert_allclose(np.asarray(g[0]),
+                                   np.asarray(jax.grad(f)(good)),
+                                   rtol=1e-6)
+
     def test_rescue_under_scan_and_jit(self):
         """cholesky_with_jitter inside a scanned jitted step (the training
         hot path): both branches trace, the good input stays on the fast
