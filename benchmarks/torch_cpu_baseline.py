@@ -121,7 +121,11 @@ def measure_torch_steps_per_sec(
 
     for _ in range(warmup):
         step()
-    t0 = time.time()
+    # per-step median: a single OS scheduling stall in a short window was
+    # moving the reported ratio by ~20% run to run
+    times = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         step()
-    return steps / (time.time() - t0)
+        times.append(time.perf_counter() - t0)
+    return 1.0 / float(np.median(times))
