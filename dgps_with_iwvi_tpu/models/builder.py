@@ -48,6 +48,8 @@ class BuildArgs:
     priors: tuple = ()
     # q-variance matmul MXU precision (see DGPConfig.var_precision)
     var_precision: str = "default"
+    # conditional solve-path matmul precision (see DGPConfig.solve_precision)
+    solve_precision: str = "highest"
 
 
 # friendly prior-target names -> parameter-path suffixes (ops/priors.py)
@@ -138,6 +140,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         jitter_tries=args.jitter_tries,
         priors=tuple(args.priors),
         var_precision=args.var_precision,
+        solve_precision=args.solve_precision,
     )
 
 

@@ -72,9 +72,10 @@ class DGPConfig:
     # MXU precision for the q-variance matmuls ONLY (the FLOP-dominant
     # (q_sqrt^T A) / (S A) contraction — a cancellation-free sum of squares
     # accumulated in f32 on the MXU): 'highest' (bf16x6), 'high' (bf16x3),
-    # 'default' (single-pass bf16). The gram/solve/mean path always runs
-    # HIGHEST (catastrophic cancellation there), and ALL natgrad matmuls
-    # stay HIGHEST (training/natgrad.py — measured failure mode otherwise).
+    # 'default' (single-pass bf16). The gram always runs HIGHEST
+    # (catastrophic cancellation there), ALL natgrad matmuls stay HIGHEST
+    # (training/natgrad.py — measured failure mode otherwise), and the
+    # solve path has its own knob below.
     # Round-1 measurement: 'high' leaves the ELBO within 6e-8 relative of
     # 'highest' with identical 3k-step training quality. Round-2
     # measurement (15k-step full-convergence A/B on LG-energy, LG-kin8nm,
@@ -84,6 +85,15 @@ class DGPConfig:
     # hence 'default' is the default. Set 'high'/'highest' to re-verify on
     # a new dataset family.
     var_precision: str = "default"
+    # MXU precision for the conditional's SOLVE-path matmuls (A = Linv Kuf,
+    # mean = A^T q_mu). These feed the Kff - sum(A^2) cancellation, and the
+    # full-convergence quality gate FAILED at 'high' (bf16x3): +14% steps/s
+    # at the flagship shape, three configs matched 'highest', but GG-energy
+    # (Adam-only, 2-layer VI) went NaN mid-training — the inner layer's
+    # prior-variance cancellation is the weak point. 'highest' is therefore
+    # the default and the safe setting; 'high' remains available for
+    # shapes/datasets where the user re-runs the gate themselves.
+    solve_precision: str = "highest"
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")
@@ -204,6 +214,7 @@ def propagate(
                 use_pallas=config.use_pallas,
                 jitter_tries=config.jitter_tries,
                 var_precision=config.var_precision,
+                solve_precision=config.solve_precision,
                 Lm=Lm, Linv=Linv)
             if cfg.final:
                 final_out = moments
@@ -304,7 +315,8 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
                 params["layers"][i], cfg, F, lkey, jitter=config.jitter,
                 use_pallas=config.use_pallas,
                 jitter_tries=config.jitter_tries,
-                var_precision=config.var_precision)
+                var_precision=config.var_precision,
+                solve_precision=config.solve_precision)
     fcfg = config.layers[final_i]
     assert fcfg.white, "full-cov prediction implemented for white=True"
     fp = params["layers"][final_i]

@@ -139,6 +139,7 @@ def gp_layer_propagate(
     use_pallas: bool | str = "auto",
     jitter_tries: int = 4,
     var_precision: str | None = None,
+    solve_precision: str | None = None,
     Lm: jax.Array | None = None,
     Linv: jax.Array | None = None,
 ):
@@ -179,7 +180,8 @@ def gp_layer_propagate(
             F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
             kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas,
             jitter_tries=jitter_tries, white=cfg.white,
-            var_precision=var_precision, Lm=Lm, Linv=Linv, q_S=q_cov)
+            var_precision=var_precision, solve_precision=solve_precision,
+            Lm=Lm, Linv=Linv, q_S=q_cov)
     if cfg.mean_function == "skip":
         W = params.get("mean_W")
         if W is not None:

@@ -125,6 +125,7 @@ def base_conditional_whitened(
     var_precision: str | None = None,
     Linv: jax.Array | None = None,
     q_S: jax.Array | None = None,   # [D, M, M] covariance form (natgrad)
+    solve_precision: str | None = None,
 ) -> ConditionalOut:
     """Whitened marginal conditional; broadcasts over leading axes of Kuf.
 
@@ -145,7 +146,10 @@ def base_conditional_whitened(
     Z/lengthscale grads that are exactly 0 at HIGHEST come out ~1e-3-absolute
     instead; one optimizer step breaks that symmetry anyway.
     """
-    hp = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: GP moments cancel
+    # solve-path precision (A and the mean): feeds the Kff - sum(A^2)
+    # cancellation, so it defaults to HIGHEST here; DGPConfig.solve_precision
+    # passes the quality-gated production setting ('high').
+    sp = _var_prec(solve_precision)
     vp = _var_prec(var_precision)
     # Wide solves (many K*S*B columns against one small well-conditioned
     # jittered factor): invert Lm once ([M, M] solve) and turn the wide
@@ -156,13 +160,13 @@ def base_conditional_whitened(
         n_cols *= s
     m = Lm.shape[-1]
     if Linv is not None:
-        A = jnp.matmul(Linv, Kuf, precision=hp)            # [..., M, N]
+        A = jnp.matmul(Linv, Kuf, precision=sp)            # [..., M, N]
     elif INVERSE_SOLVE and Lm.ndim == 2 and n_cols >= 4 * m:
         Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
-        A = jnp.matmul(Linv, Kuf, precision=hp)            # [..., M, N]
+        A = jnp.matmul(Linv, Kuf, precision=sp)            # [..., M, N]
     else:
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
-    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
+    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
     fvar_q = _q_variance(A, q_sqrt, q_S, vp)                 # [..., N, D]
     return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
@@ -178,6 +182,7 @@ def base_conditional(
     white: bool = True,
     var_precision: str | None = None,
     q_S: jax.Array | None = None,
+    solve_precision: str | None = None,
 ) -> ConditionalOut:
     """gpflow-style base_conditional supporting BOTH parameterizations.
 
@@ -190,13 +195,14 @@ def base_conditional(
     if white:
         return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt,
                                          var_precision=var_precision,
-                                         q_S=q_S)
-    hp = jax.lax.Precision.HIGHEST
+                                         q_S=q_S,
+                                         solve_precision=solve_precision)
+    sp = _var_prec(solve_precision)
     vp = _var_prec(var_precision)
     A1 = solve_triangular(Lm, Kuf, lower=True)             # [..., M, N]
     fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
-    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=hp)
+    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
     fvar_q = _q_variance(A, q_sqrt, q_S, vp)               # [..., N, D]
     return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
 
@@ -234,6 +240,7 @@ def conditional(
     white: bool = True,
     var_precision: str | None = None,
     q_S: jax.Array | None = None,
+    solve_precision: str | None = None,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
@@ -276,9 +283,11 @@ def conditional(
     if white:
         return base_conditional_whitened(Kuf, Lm, Kff_diag, q_mu, q_sqrt,
                                          var_precision=var_precision,
-                                         Linv=Linv, q_S=q_S)
+                                         Linv=Linv, q_S=q_S,
+                                         solve_precision=solve_precision)
     return base_conditional(Kuf, Lm, Kff_diag, q_mu, q_sqrt, white=white,
-                            var_precision=var_precision, q_S=q_S)
+                            var_precision=var_precision, q_S=q_S,
+                            solve_precision=solve_precision)
 
 
 def sample_conditional_fused(

@@ -72,9 +72,16 @@ def parse_args(argv=None):
     p.add_argument("--var_precision", default="default",
                    choices=["highest", "high", "default"],
                    help="MXU precision for the q-variance matmuls only "
-                        "(gram/solve/mean always run HIGHEST); 'default' "
+                        "(gram always runs HIGHEST); 'default' "
                         "measured quality-neutral at full convergence on "
                         "4 configs, ~+19%% steps/s (see DGPConfig)")
+    p.add_argument("--solve_precision", default="highest",
+                   choices=["highest", "high"],
+                   help="MXU precision for the conditional solve-path "
+                        "matmuls (A = Linv Kuf, mean); 'high' is +14%% "
+                        "steps/s but FAILED the convergence quality gate "
+                        "on one config (GG-energy NaN) — re-gate before "
+                        "using it on your data")
     p.add_argument("--prior", action="append", default=[],
                    help="hyperparameter prior, repeatable: "
                         "target=kind(a,b) with target in "
@@ -126,7 +133,8 @@ def run(args) -> dict:
         amortized=not args.non_amortized, likelihood=args.likelihood,
         white=not args.no_white, q_diag=args.q_diag,
         priors=tuple(parse_prior_flag(s) for s in args.prior),
-        var_precision=args.var_precision)
+        var_precision=args.var_precision,
+        solve_precision=args.solve_precision)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
