@@ -95,7 +95,9 @@ def parse_args(argv=None):
     p.add_argument("--q_diag", action="store_true",
                    help="diagonal q(u) covariance (requires --natgrad none)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--steps_per_call", type=int, default=100)
+    p.add_argument("--steps_per_call", type=int, default=500,
+                   help="steps per scan-chunked dispatch (amortizes the "
+                        "~30 ms host<->device round trip)")
     p.add_argument("--print_every", type=int, default=1000)
     p.add_argument("--results_db", default="results.db")
     p.add_argument("--data_dir", default=None)
