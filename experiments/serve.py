@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Batch prediction server/scorer: checkpoint -> predictions file.
+
+Production-serving counterpart of the experiment harness: restores a
+checkpoint written by experiments/main.py (--ckpt_dir), rebuilds the model
+from the same flags, and scores an input table with the S-sample mixture
+predictive (mean, variance, and per-point log-density when targets are
+provided) — in ORIGINAL units, using the training split's normalization
+statistics, exactly like the evaluation path (SURVEY.md §3.3).
+
+Throughput: fixed-size padded batches so every call hits one compiled
+program, with `--depth` async calls in flight so host<->device latency
+overlaps device compute (measured 4.5x on the tunneled v5e — see
+benchmarks/predict_bench.py).
+
+Examples:
+  # score the held-out test split of the training dataset
+  python experiments/serve.py --dataset kin8nm --configuration LGG \\
+      --mode IW --K 20 --ckpt_dir /tmp/ck --output /tmp/pred.npz
+
+  # score an external delimited table of raw X rows
+  python experiments/serve.py ... --input newdata.csv --output pred.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from dgps_with_iwvi_tpu.data import get_regression_data
+from dgps_with_iwvi_tpu.models import BuildArgs, build_model, \
+    predict_y_and_log_density
+from dgps_with_iwvi_tpu.training import TrainConfig, make_trainer
+from dgps_with_iwvi_tpu.training.checkpoint import latest_step, \
+    restore_checkpoint
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--dataset", default="energy",
+                   help="training dataset (fixes normalization stats)")
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--configuration", default="G")
+    p.add_argument("--mode", default="VI")
+    p.add_argument("--M", type=int, default=128)
+    p.add_argument("--K", type=int, default=5)
+    p.add_argument("--d_w", type=int, default=1)
+    p.add_argument("--kernel", default="rbf")
+    p.add_argument("--likelihood", default="gaussian")
+    p.add_argument("--natgrad", default="final")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--input", default=None,
+                   help="npz (arrays X[, Y]) or delimited table of raw X "
+                        "rows; default = the dataset's test split")
+    p.add_argument("--output", required=True, help="npz output path")
+    p.add_argument("--num_predict_samples", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--depth", type=int, default=8,
+                   help="async calls in flight")
+    p.add_argument("--data_dir", default=None)
+    return p.parse_args(argv)
+
+
+def _load_input(args, data):
+    """-> (X_norm, Y_norm | None) in the train-split-standardized space."""
+    if args.input is None:  # test split is stored already standardized
+        return np.asarray(data.X_test), np.asarray(data.Y_test)
+    if args.input.endswith(".npz"):
+        z = np.load(args.input)
+        X_raw = np.asarray(z["X"], np.float64)
+        Y_raw = np.asarray(z["Y"], np.float64) if "Y" in z.files else None
+    else:
+        from dgps_with_iwvi_tpu.data.native_loader import parse_table
+
+        X_raw, Y_raw = parse_table(args.input), None
+    Xn = (X_raw - data.X_mean) / data.X_std
+    Yn = None if Y_raw is None else (Y_raw - data.Y_mean) / data.Y_std
+    return Xn, Yn
+
+
+def run(args) -> dict:
+    data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
+    data = get_regression_data(args.dataset, args.split, **data_kw)
+    key = jax.random.PRNGKey(args.seed)
+    build = BuildArgs(
+        configuration=args.configuration, mode=args.mode.upper(),
+        num_inducing=args.M, num_iw_samples=args.K, d_w=args.d_w,
+        kernel_kind=args.kernel, likelihood=args.likelihood)
+    kb, kt, ke = jax.random.split(key, 3)
+    X_tr = jnp.asarray(data.X_train)
+    Y_tr = jnp.asarray(data.Y_train)
+    config, params0 = build_model(kb, build, X_tr, Y_tr)
+
+    step = latest_step(args.ckpt_dir)
+    if step is None:
+        raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+    tc = TrainConfig(natgrad=args.natgrad)
+    init_fn, _, _, params_fn = make_trainer(config, tc)
+    like = {"state": init_fn(params0), "key": kt}
+    state = restore_checkpoint(args.ckpt_dir, step, like)["state"]
+    params = params_fn(state)
+    print(f"[serve] restored step {step} from {args.ckpt_dir}")
+
+    Xn, Yn = _load_input(args, data)
+    n = Xn.shape[0]
+    Xs = jnp.asarray(Xn, jnp.float32)
+    have_y = Yn is not None
+    Ys = (jnp.asarray(Yn, jnp.float32) if have_y
+          else jnp.zeros((n, Y_tr.shape[1]), jnp.float32))
+
+    S = args.num_predict_samples
+    bs = min(args.batch_size, n)
+
+    @jax.jit
+    def score(xb, yb, k):
+        return predict_y_and_log_density(params, config, xb, yb, k, S)
+
+    # compile outside the timed region (first call traces + compiles)
+    warm = score(Xs[:bs], Ys[:bs], ke)  # bs = min(batch_size, n)
+    jax.block_until_ready(warm[1])
+
+    # fixed-size padded batches; --depth calls kept in flight
+    t0 = time.perf_counter()
+    outs = []
+    starts = list(range(0, n, bs))
+    for start in starts:
+        xb, yb = Xs[start:start + bs], Ys[start:start + bs]
+        pad = bs - xb.shape[0]
+        if pad:
+            xb = jnp.concatenate([xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            yb = jnp.concatenate([yb, jnp.zeros((pad,) + yb.shape[1:], yb.dtype)])
+        outs.append(((start, pad), score(xb, yb, jax.random.fold_in(ke, start))))
+        if len(outs) >= args.depth:  # bound in-flight work
+            jax.block_until_ready(outs[-args.depth][1][1])
+    means, variances, lds = [], [], []
+    for (start, pad), ((m, v), ld) in outs:
+        take = bs - pad
+        means.append(np.asarray(m)[:take])
+        variances.append(np.asarray(v)[:take])
+        lds.append(np.asarray(ld)[:take])
+    dt = time.perf_counter() - t0
+    mean = np.concatenate(means)
+    var = np.concatenate(variances)
+    ld = np.concatenate(lds)
+
+    y_std = np.asarray(data.Y_std).reshape(1, -1)
+    y_mean = np.asarray(data.Y_mean).reshape(1, -1)
+    out = {
+        "mean": mean * y_std + y_mean,            # original units
+        "var": var * y_std ** 2,
+        "num_samples": S,
+        "checkpoint_step": step,
+    }
+    if have_y:
+        out["log_density"] = ld - float(np.sum(np.log(y_std)))
+    np.savez(args.output, **out)
+    rate = n / dt
+    print(f"[serve] scored {n} points in {dt:.2f}s = {rate:,.0f} points/s "
+          f"(S={S}, batch={bs}, depth={args.depth}) -> {args.output}")
+    return {"n": n, "points_per_sec": rate, "output": args.output}
+
+
+if __name__ == "__main__":
+    run(parse_args())

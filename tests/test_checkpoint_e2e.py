@@ -83,6 +83,46 @@ class TestHarnessE2E:
         rows = Database(db).read("yacht")
         assert len(rows) == 1 and rows[0]["K"] == 3
 
+    def test_serve_cli_scores_from_checkpoint(self, tmp_path):
+        """experiments/serve.py end-to-end: train a tiny model with a
+        checkpoint via main.py, then serve predictions from the checkpoint;
+        outputs finite, original-units, shaped [n_test, d_y], and the
+        log-density is reported (targets available on the test split)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+        from experiments.serve import parse_args as serve_args, run as serve
+
+        ck = str(tmp_path / "ck")
+        run(parse_args([
+            "--dataset", "yacht", "--configuration", "LG", "--mode", "IW",
+            "--K", "3", "--M", "8", "--iterations", "100",
+            "--minibatch_size", "64", "--steps_per_call", "50",
+            "--num_predict_samples", "10", "--print_every", "0",
+            "--results_db", str(tmp_path / "r.db"), "--seed", "0",
+            "--ckpt_dir", ck, "--ckpt_every", "50"]))
+        out = str(tmp_path / "pred.npz")
+        res = serve(serve_args([
+            "--dataset", "yacht", "--configuration", "LG", "--mode", "IW",
+            "--K", "3", "--M", "8", "--ckpt_dir", ck, "--output", out,
+            "--num_predict_samples", "10", "--batch_size", "16"]))
+        z = np.load(out)
+        from dgps_with_iwvi_tpu.data import get_regression_data
+
+        data = get_regression_data("yacht", 0)
+        n = data.X_test.shape[0]
+        assert z["mean"].shape == (n, 1) and z["var"].shape == (n, 1)
+        assert np.all(np.isfinite(z["mean"])) and np.all(z["var"] > 0)
+        assert z["log_density"].shape == (n,)
+        assert np.all(np.isfinite(z["log_density"]))
+        # un-normalization happened: predictions live near the raw-Y scale
+        y_raw_mean = float(np.asarray(data.Y_test * data.Y_std
+                                      + data.Y_mean).mean())
+        assert abs(float(z["mean"].mean()) - y_raw_mean) < \
+            10 * float(np.asarray(data.Y_std).max())
+        assert res["n"] == n
+
     def test_monitor_tracks_rate_and_history(self):
         mon = Monitor(print_every=0)
         for step in (10, 20, 30):
