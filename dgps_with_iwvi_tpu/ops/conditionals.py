@@ -47,15 +47,21 @@ INVERSE_SOLVE = True
 #   +49% steps/s — those ops sit at the roofline ridge on the residual
 #   write; recomputing the one [D,M,M]x[M,cols] dot makes them MXU-bound).
 # "auto" (default) remats exactly when the stored inner product would
-# exceed REMAT_QVAR_THRESHOLD_BYTES, placed between the two measured
-# points. True/False force it for A/B.
+# exceed REMAT_QVAR_THRESHOLD_BYTES *and* M is small enough that the
+# recompute is cheap relative to the avoided traffic: recompute FLOPs
+# scale with D*M^2*cols while the residual scales with D*M*cols, so the
+# trade flips as M grows — measured M=128 B=8192 (671 MB): remat wins
+# 1.18x; M=512 B=2048 (671 MB): remat LOSES 0.89x. True/False force it
+# for A/B.
 REMAT_QVAR: bool | str = "auto"
 REMAT_QVAR_THRESHOLD_BYTES = 64 * 1024 * 1024
+REMAT_QVAR_MAX_M = 256
 
 
-def _maybe_remat(fn, residual_bytes: int):
+def _maybe_remat(fn, residual_bytes: int, m: int):
     if REMAT_QVAR == "auto":
-        do = residual_bytes > REMAT_QVAR_THRESHOLD_BYTES
+        do = (residual_bytes > REMAT_QVAR_THRESHOLD_BYTES
+              and m <= REMAT_QVAR_MAX_M)
     else:
         do = bool(REMAT_QVAR)
     return jax.checkpoint(fn) if do else fn
@@ -94,7 +100,7 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
             return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
 
         res_bytes = q_S.shape[0] * n_cols * m * A.dtype.itemsize
-        fvar_q = _maybe_remat(_qvar_cov, res_bytes)(A, q_S)
+        fvar_q = _maybe_remat(_qvar_cov, res_bytes, m)(A, q_S)
         return jnp.swapaxes(fvar_q, -1, -2)
     if q_sqrt.ndim == 2:
         return jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
@@ -107,7 +113,7 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
         return jnp.sum(jnp.square(LTA), axis=-2)            # [..., D, N]
 
     res_bytes = q_sqrt.shape[0] * n_cols * m * A.dtype.itemsize
-    fvar_q = _maybe_remat(_qvar_root, res_bytes)(A, q_sqrt)
+    fvar_q = _maybe_remat(_qvar_root, res_bytes, m)(A, q_sqrt)
     return jnp.swapaxes(fvar_q, -1, -2)
 
 
@@ -140,15 +146,15 @@ def base_conditional_whitened(
     sum of squares, tolerates fewer bf16 MXU passes — 'high' (bf16x3)
     measured 6e-8 relative ELBO error vs 'highest' at the flagship shape
     while removing ~0.13 ms/step of MXU time (fwd + both transposed dots).
-    The gram / solve / mean path always stays HIGHEST (catastrophic
-    cancellation there). One caveat: the exact Kff - sum(A^2) + sum((L^T A)^2)
+    The gram always stays HIGHEST, and the solve path has its own
+    solve_precision (default HIGHEST — see DGPConfig). One caveat: the exact Kff - sum(A^2) + sum((L^T A)^2)
     cancellation at q_sqrt == I (whitened init) is no longer bit-exact, so
     Z/lengthscale grads that are exactly 0 at HIGHEST come out ~1e-3-absolute
     instead; one optimizer step breaks that symmetry anyway.
     """
     # solve-path precision (A and the mean): feeds the Kff - sum(A^2)
-    # cancellation, so it defaults to HIGHEST here; DGPConfig.solve_precision
-    # passes the quality-gated production setting ('high').
+    # cancellation; defaults to HIGHEST (DGPConfig.solve_precision — the
+    # 'high' setting FAILED the convergence quality gate on GG-energy).
     sp = _var_prec(solve_precision)
     vp = _var_prec(var_precision)
     # Wide solves (many K*S*B columns against one small well-conditioned
