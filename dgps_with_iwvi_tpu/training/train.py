@@ -193,8 +193,28 @@ def fit(
     chunk_jit = jax.jit(chunk_fn)
     n_chunks = -(-tc.iterations // tc.steps_per_call)
     start_chunk = int(state.step) // tc.steps_per_call
+    # The callback runs ONE CHUNK BEHIND the dispatch: jax dispatch is
+    # async, so chunk c+1 is in flight on the device while the host fetches
+    # chunk c's mean loss / step for the callback. Fetching synchronously
+    # instead cost two ~30 ms tunnel round trips per chunk — measured 1568
+    # vs 2059 steps/s on the LGG-protein config (CLI vs bare chunk loop).
+    # Values and cadence are identical; only the overlap changes.
+    import numpy as np
+
+    def _fire(cb_args):
+        step, losses, st = cb_args
+        # mean on HOST from one device_get — a device-side jnp.mean would
+        # be an extra tiny program dispatch (another tunnel round trip)
+        callback(step, float(np.asarray(losses).mean()), st)
+
+    prev = None
     for c in range(start_chunk, n_chunks):
-        state, losses = chunk_jit(state, X, Y, jax.random.fold_in(key, c))
+        new_state, losses = chunk_jit(state, X, Y, jax.random.fold_in(key, c))
         if callback is not None:
-            callback(int(state.step), float(jnp.mean(losses)), state)
+            if prev is not None:
+                _fire(prev)
+            prev = ((c + 1) * tc.steps_per_call, losses, new_state)
+        state = new_state
+    if callback is not None and prev is not None:
+        _fire(prev)
     return params_fn(state), state
