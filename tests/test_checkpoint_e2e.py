@@ -123,6 +123,40 @@ class TestHarnessE2E:
             10 * float(np.asarray(data.Y_std).max())
         assert res["n"] == n
 
+    def test_serve_external_npz_input_standardizes(self, tmp_path):
+        """serve.py with --input: raw-unit X/Y rows are standardized with
+        the TRAIN split's statistics before scoring; predictions on the raw
+        test rows must match serving the built-in test split exactly."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+        from experiments.serve import parse_args as serve_args, run as serve
+        from dgps_with_iwvi_tpu.data import get_regression_data
+
+        ck = str(tmp_path / "ck")
+        run(parse_args([
+            "--dataset", "yacht", "--configuration", "G", "--mode", "VI",
+            "--M", "8", "--iterations", "60", "--minibatch_size", "64",
+            "--steps_per_call", "30", "--num_predict_samples", "5",
+            "--print_every", "0", "--results_db", str(tmp_path / "r.db"),
+            "--ckpt_dir", ck, "--ckpt_every", "30"]))
+        data = get_regression_data("yacht", 0)
+        # reconstruct RAW-unit test rows and feed them through --input
+        X_raw = np.asarray(data.X_test) * data.X_std + data.X_mean
+        Y_raw = np.asarray(data.Y_test) * data.Y_std + data.Y_mean
+        np.savez(tmp_path / "in.npz", X=X_raw, Y=Y_raw)
+        common = ["--dataset", "yacht", "--configuration", "G", "--mode",
+                  "VI", "--M", "8", "--ckpt_dir", ck,
+                  "--num_predict_samples", "5", "--batch_size", "16"]
+        serve(serve_args(common + ["--input", str(tmp_path / "in.npz"),
+                                   "--output", str(tmp_path / "a.npz")]))
+        serve(serve_args(common + ["--output", str(tmp_path / "b.npz")]))
+        a, b = np.load(tmp_path / "a.npz"), np.load(tmp_path / "b.npz")
+        np.testing.assert_allclose(a["mean"], b["mean"], rtol=1e-5)
+        np.testing.assert_allclose(a["log_density"], b["log_density"],
+                                   rtol=1e-5)
+
     def test_monitor_tracks_rate_and_history(self):
         mon = Monitor(print_every=0)
         for step in (10, 20, 30):
