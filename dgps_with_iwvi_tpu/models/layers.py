@@ -197,7 +197,7 @@ def gp_layer_propagate(
         sample = raw_sample + mf
     else:
         eps = jax.random.normal(key, mean.shape, mean.dtype)
-        sample = mean + jnp.sqrt(jnp.maximum(out.var, 0.0)) * eps
+        sample = mean + conditionals.safe_sqrt(out.var) * eps
     return sample, (mean, out.var)
 
 

@@ -67,6 +67,22 @@ def _maybe_remat(fn, residual_bytes: int, m: int):
     return jax.checkpoint(fn) if do else fn
 
 
+def safe_sqrt(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """sqrt(max(v, eps)) — the gradient-safe standard deviation.
+
+    sqrt(max(v, 0)) has an inf * 0 = NaN backward at v == 0: sqrt's
+    derivative is infinite there and max's zero subgradient cannot mask it.
+    A marginal GP variance sits EXACTLY at that point whenever the
+    cancellation Kff - sum(A^2) rounds to or below zero — guaranteed at a
+    whitened near-deterministic layer's initialization once the solve path
+    runs below HIGHEST precision (reproduced: GG-energy NaN'd at step 1
+    with solve_precision='high'), and possible at HIGHEST for points on
+    top of an inducing location. The eps floor (noise scale sqrt(eps) =
+    1e-6) is far below every other noise source in the model.
+    """
+    return jnp.sqrt(jnp.maximum(v, eps))
+
+
 def _var_prec(var_precision: str | None) -> jax.lax.Precision:
     hp = jax.lax.Precision.HIGHEST
     return {None: hp, "highest": hp,
@@ -173,7 +189,11 @@ def base_conditional_whitened(
     else:
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
-    fvar_prior = Kff_diag - jnp.sum(jnp.square(A), axis=-2)  # [..., N]
+    # clamp the cancellation to its mathematical domain: Kff - Qff >= 0,
+    # but rounding (especially solve_precision < HIGHEST) can push it
+    # negative, which would reach the likelihood as a negative variance
+    fvar_prior = jnp.maximum(
+        Kff_diag - jnp.sum(jnp.square(A), axis=-2), 0.0)     # [..., N]
     fvar_q = _q_variance(A, q_sqrt, q_S, vp)                 # [..., N, D]
     return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
 
@@ -206,7 +226,8 @@ def base_conditional(
     sp = _var_prec(solve_precision)
     vp = _var_prec(var_precision)
     A1 = solve_triangular(Lm, Kuf, lower=True)             # [..., M, N]
-    fvar_prior = Kff_diag - jnp.sum(jnp.square(A1), axis=-2)
+    fvar_prior = jnp.maximum(
+        Kff_diag - jnp.sum(jnp.square(A1), axis=-2), 0.0)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
     fvar_q = _q_variance(A, q_sqrt, q_S, vp)               # [..., N, D]
@@ -357,5 +378,5 @@ def sample_conditional(
     """
     out = conditional(X, Z, kernel_params, q_mu, q_sqrt, **kw)
     eps = jax.random.normal(key, out.mean.shape, out.mean.dtype)
-    sample = out.mean + jnp.sqrt(jnp.maximum(out.var, 0.0)) * eps
+    sample = out.mean + safe_sqrt(out.var) * eps
     return sample, out

