@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Adjudicate the IW-vs-VI trained-quality question (VERDICT r2 item 1).
+
+The reference's reason to exist (ICML 2019, arXiv:1905.05435) is that the
+K-sample importance-weighted bound improves latent-variable DGP predictive
+quality. Round 2's synthetic-surrogate sweep (benchmarks/SUITE.md) showed
+the OPPOSITE on configs with an inter-layer GP sample (GG-IW and LGG-IW
+markedly worse than their VI counterparts on concrete/energy), while G and
+LG showed parity. Nobody had looked at why.
+
+This benchmark settles it by construction:
+
+1. BIMODAL case — the paper's own motivating figure (ref:demos,
+   SURVEY.md §3.5): y | x is a two-branch, heteroscedastic density. A
+   Gaussian-likelihood model can only capture it through the latent w, and
+   the VI bound's mean-field local KL is known to over-regularize q(w)
+   there; the IW bound must win. If it does not, there is a bug.
+2. UNIMODAL control — the same generator with one branch: y | x IS
+   Gaussian, the latent variable is unnecessary, and the logsumexp over K
+   weight-1 inter-layer GP samples can only reward inflated inner-layer
+   variance (the 'sample lottery': the bound pays for the BEST of K draws
+   while the S-sample mixture predictive pays for the average). The
+   SUITE.md inversion should reproduce here — showing it is a property of
+   forcing IW onto unimodal targets, not a framework bug.
+3. K-scan on the bimodal case: the IW bound value must be monotone in K
+   (paper Fig. 2 analog) and quality should not degrade with K.
+
+Writes benchmarks/IW_VS_VI.md (+ .json). Run on the TPU backend:
+    python benchmarks/iw_vs_vi.py [--iterations 20000] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from dgps_with_iwvi_tpu.evaluation import evaluate
+from dgps_with_iwvi_tpu.models import BuildArgs, build_model, elbo
+from dgps_with_iwvi_tpu.training import TrainConfig, fit
+
+
+def make_data(n: int, seed: int, bimodal: bool = True):
+    """Two-branch heteroscedastic 1-D density (scaled-up demos/toy_1d.py
+    generator). bimodal=False collapses to the upper branch -> unimodal
+    Gaussian conditional (the control)."""
+    rng = np.random.RandomState(seed)
+    X = rng.uniform(-2, 2, n)[:, None]
+    branch = rng.rand(n) > 0.5 if bimodal else np.zeros(n, bool)
+    y = np.sin(3 * X[:, 0]) + np.where(branch, -0.7, 0.7)
+    y += (0.05 + 0.1 * (X[:, 0] > 0)) * rng.randn(n)
+    return X.astype(np.float64), y[:, None].astype(np.float64)
+
+
+def standardized(n_train, n_test, seed, bimodal):
+    Xtr, Ytr = make_data(n_train, seed, bimodal)
+    Xte, Yte = make_data(n_test, seed + 1, bimodal)
+    xm, xs = Xtr.mean(0), Xtr.std(0) + 1e-12
+    ym, ys = Ytr.mean(0), Ytr.std(0) + 1e-12
+    f32 = lambda a: np.asarray(a, np.float32)
+    return (f32((Xtr - xm) / xs), f32((Ytr - ym) / ys),
+            f32((Xte - xm) / xs), f32((Yte - ym) / ys), ys)
+
+
+def iw_diagnostics(params, config, X, Y, key, K=20):
+    """Effective sample size of the IW weights (mean over points):
+    ESS_n = (sum_k w)^2 / sum_k w^2 in [1, K]. ESS ~ 1 means the logsumexp
+    gradient concentrates on a single sample (SNR collapse risk)."""
+    from dgps_with_iwvi_tpu.models.dgp import propagate
+    from dgps_with_iwvi_tpu.models.layers import LatentVarMode
+    from dgps_with_iwvi_tpu.ops import likelihoods
+
+    cfg = config if config.num_iw_samples == K else \
+        __import__("dataclasses").replace(config, num_iw_samples=K)
+    fmean, fvar, log_w, _ = propagate(
+        params, cfg, X, key, (K,), lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+    ve = likelihoods.dispatch_variational_expectations(
+        params["likelihood"], fmean, fvar, Y, kind="gaussian")   # [K, B]
+    lw = ve + log_w
+    lw = lw - jax.nn.logsumexp(lw, axis=0, keepdims=True)
+    w = jnp.exp(lw)
+    ess = 1.0 / jnp.sum(jnp.square(w), axis=0)                   # [B]
+    return float(jnp.mean(ess))
+
+
+def run_one(tag, configuration, mode, K, data, *, iterations, M, seed=0,
+            num_samples=1):
+    Xtr, Ytr, Xte, Yte, ys = data
+    key = jax.random.PRNGKey(seed)
+    build = BuildArgs(configuration=configuration, mode=mode,
+                      num_inducing=M, num_iw_samples=K,
+                      num_samples=num_samples)
+    cfg, params = build_model(key, build, jnp.asarray(Xtr), jnp.asarray(Ytr))
+    tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad="final",
+                     minibatch_size=min(512, Xtr.shape[0]),
+                     iterations=iterations, steps_per_call=500)
+    t0 = time.time()
+    trained, _ = fit(key, cfg, params, jnp.asarray(Xtr), jnp.asarray(Ytr), tc)
+    dt = time.time() - t0
+    ke = jax.random.PRNGKey(seed + 100)
+    m = evaluate(trained, cfg, Xte, Yte, ke, y_std=np.ones((1, 1)),
+                 num_samples=500)
+    # bound values on one large batch, SAME params, both objectives
+    import dataclasses as dc
+
+    nb = min(2048, Xtr.shape[0])
+    xb, yb = jnp.asarray(Xtr[:nb]), jnp.asarray(Ytr[:nb])
+    cfg_vi = dc.replace(cfg, objective="vi")
+    cfg_iw = dc.replace(cfg, objective="iw", num_iw_samples=20)
+    # per-point bound values (elbo returns the full-dataset scale)
+    out = {
+        "tag": tag, "configuration": configuration, "mode": mode, "K": K,
+        "test_loglik": m["test_loglik"], "test_rmse": m["test_rmse"],
+        "elbo_vi": float(elbo(trained, cfg_vi, xb, yb, ke)) / cfg.num_data,
+        "bound_iw20": float(elbo(trained, cfg_iw, xb, yb, ke)) / cfg.num_data,
+        "ess20": iw_diagnostics(trained, cfg, xb[:512], yb[:512], ke),
+        "train_s": dt,
+    }
+    print(f"  {tag:28s} NLL={-out['test_loglik']:+.3f} "
+          f"rmse={out['test_rmse']:.3f} ELBO/n={out['elbo_vi']:+.3f} "
+          f"IW20/n={out['bound_iw20']:+.3f} ESS={out['ess20']:.1f} "
+          f"({dt:.0f}s)")
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iterations", type=int, default=20000)
+    p.add_argument("--n_train", type=int, default=2000)
+    p.add_argument("--n_test", type=int, default=2000)
+    p.add_argument("--M", type=int, default=64)
+    p.add_argument("--quick", action="store_true",
+                   help="tiny shapes / few steps (smoke only)")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "IW_VS_VI"))
+    args = p.parse_args(argv)
+    if args.quick:
+        args.iterations, args.n_train, args.n_test, args.M = 500, 256, 256, 16
+
+    rows = []
+    for bimodal in (True, False):
+        name = "bimodal" if bimodal else "unimodal"
+        data = standardized(args.n_train, args.n_test, 0, bimodal)
+        print(f"[{name}]")
+        for conf in ("LG", "LGG", "GG"):
+            rows.append(run_one(f"{name}/{conf}-VI", conf, "VI", 1, data,
+                                iterations=args.iterations, M=args.M))
+            rows.append(run_one(f"{name}/{conf}-IW20", conf, "IW", 20, data,
+                                iterations=args.iterations, M=args.M))
+        if bimodal:  # K-scan (paper Fig. 2 analog)
+            for K in (1, 5):
+                rows.append(run_one(f"{name}/LG-IW{K}", "LG", "IW", K, data,
+                                    iterations=args.iterations, M=args.M))
+
+    with open(args.out + ".json", "w") as f:
+        json.dump(rows, f, indent=1)
+    _write_md(args, rows)
+    return rows
+
+
+def _write_md(args, rows):
+    by = {r["tag"]: r for r in rows}
+
+    def nll(tag):
+        r = by.get(tag)
+        return f"{-r['test_loglik']:+.3f}" if r else "-"
+
+    lines = [
+        "# IW vs VI adjudication (bimodal benchmark + unimodal control)",
+        "",
+        f"N={args.n_train} train / {args.n_test} test, M={args.M}, "
+        f"{args.iterations} iterations, natgrad(final)+Adam, standardized "
+        "units, mixture test NLL with S=500 prior samples (LOWER is "
+        "better). Generator: scaled-up demos/toy_1d.py two-branch "
+        "heteroscedastic density; the unimodal control keeps one branch.",
+        "",
+        "| config | bimodal VI | bimodal IW20 | unimodal VI | unimodal IW20 |",
+        "|---|---|---|---|---|",
+    ]
+    for conf in ("LG", "LGG", "GG"):
+        lines.append(
+            f"| {conf} | {nll(f'bimodal/{conf}-VI')} | "
+            f"{nll(f'bimodal/{conf}-IW20')} | {nll(f'unimodal/{conf}-VI')} | "
+            f"{nll(f'unimodal/{conf}-IW20')} |")
+    lines += ["", "## K-scan (bimodal, LG)", "",
+              "| K | test NLL | IW20 bound/n | ESS(K=20) |", "|---|---|---|---|"]
+    for tag in ("bimodal/LG-VI", "bimodal/LG-IW1", "bimodal/LG-IW5",
+                "bimodal/LG-IW20"):
+        r = by.get(tag)
+        if r:
+            lines.append(f"| {tag.split('-')[-1]} | {-r['test_loglik']:+.3f} "
+                         f"| {r['bound_iw20']:+.3f} | {r['ess20']:.1f} |")
+    with open(args.out + ".md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}.md / .json")
+
+
+if __name__ == "__main__":
+    main()

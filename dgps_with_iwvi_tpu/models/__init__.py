@@ -4,8 +4,8 @@ TPU-native rebuild of ref:dgps_with_iwvi/{layers,models}.py and
 ref:experiments/models.py.
 """
 
-from .builder import (BuildArgs, build_config, build_model,
-                      kmeans_centers, parse_prior_flag)
+from .builder import (BuildArgs, build_config, build_model, kmeans_centers,
+                      load_build_args, parse_prior_flag, save_build_args)
 from .dgp import (
     DGPConfig,
     elbo,
@@ -28,6 +28,8 @@ __all__ = [
     "LatentVarMode",
     "build_config",
     "build_model",
+    "load_build_args",
+    "save_build_args",
     "parse_prior_flag",
     "elbo",
     "gp_kls",

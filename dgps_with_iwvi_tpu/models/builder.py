@@ -69,6 +69,48 @@ def parse_prior_flag(spec: str) -> tuple:
     return (suffix, kind.strip(), a, b)
 
 
+def save_build_args(ckpt_dir: str, args: BuildArgs, **train_meta) -> str:
+    """Persist the FULL BuildArgs next to the checkpoints so a scorer
+    (experiments/serve.py) can rebuild the exact model structure — including
+    flags like q_diag / white / amortized / precision knobs that would
+    otherwise cause structure-mismatch restore failures or silently
+    different predict precision if reconstructed from a reduced flag set.
+
+    Extra keyword args (e.g. natgrad='final', which fixes the TrainState
+    LAYOUT a restore template must match) are stored under '_train'."""
+    import json
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "build_args.json")
+    d = dataclasses.asdict(args)
+    if train_meta:
+        d["_train"] = train_meta
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1)
+    return path
+
+
+def load_build_args(ckpt_dir: str, with_meta: bool = False):
+    """Inverse of save_build_args; None when no build_args.json exists
+    (older checkpoints — callers fall back to their own flags).
+    with_meta=True returns (BuildArgs, train_meta_dict) instead."""
+    import json
+    import os
+
+    path = os.path.join(ckpt_dir, "build_args.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    meta = d.pop("_train", {})
+    # JSON round-trips tuples as lists; restore the hashable/static forms
+    d["encoder_hidden"] = tuple(d["encoder_hidden"])
+    d["priors"] = tuple(tuple(p) for p in d["priors"])
+    build = BuildArgs(**d)
+    return (build, meta) if with_meta else build
+
+
 def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
                    key: jax.Array | None = None) -> jax.Array:
     """Lloyd's k-means on X:[N, D] -> [k, D] centres (Z init).

@@ -321,7 +321,6 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
                 var_precision=config.var_precision,
                 solve_precision=config.solve_precision)
     fcfg = config.layers[final_i]
-    assert fcfg.white, "full-cov prediction implemented for white=True"
     fp = params["layers"][final_i]
     q_sqrt = jnp.tril(fp["q_sqrt"])
     Kuu = _kern.K(fp["kernel"], fp["Z"], fp["Z"], kind=fcfg.kernel_kind)
@@ -331,7 +330,7 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
         Kuf = _kern.K(fp["kernel"], fp["Z"], Fs, kind=fcfg.kernel_kind)
         Kff = _kern.K(fp["kernel"], Fs, Fs, kind=fcfg.kernel_kind)
         out = _cond.base_conditional_whitened_fullcov(
-            Kuf, Lm, Kff, fp["q_mu"], q_sqrt)
+            Kuf, Lm, Kff, fp["q_mu"], q_sqrt, white=fcfg.white)
         if fcfg.mean_function == "skip":
             W = fp.get("mean_W")
             if W is not None:

@@ -240,13 +240,22 @@ def base_conditional_whitened_fullcov(
     Kff: jax.Array,      # [N, N]
     q_mu: jax.Array,     # [M, D]
     q_sqrt: jax.Array,   # [D, M, M]
+    *,
+    white: bool = True,
 ) -> ConditionalOut:
-    """Full-covariance variant (tests / small-N prediction only)."""
+    """Full-covariance variant (tests / small-N prediction only).
+
+    white=True: A = Lm^-1 Kuf (q over whitened v, u = Lm v).
+    white=False: A = Kuu^-1 Kuf (q directly over u; second solve against
+    Lm^T), matching gpflow base_conditional(full_cov=True, white=False).
+    The prior term Kff - Kuf^T Kuu^-1 Kuf is identical in both."""
     hp = jax.lax.Precision.HIGHEST
-    A = solve_triangular(Lm, Kuf, lower=True)              # [M, N]
+    A1 = solve_triangular(Lm, Kuf, lower=True)             # [M, N]
+    prior_cov = Kff - jnp.matmul(A1.T, A1, precision=hp)   # [N, N]
+    A = A1 if white else solve_triangular(Lm, A1, lower=True, trans=True)
     mean = jnp.matmul(A.T, q_mu, precision=hp)             # [N, D]
     LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A, precision=hp)
-    cov = (Kff - jnp.matmul(A.T, A, precision=hp))[None] \
+    cov = prior_cov[None] \
         + jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA, precision=hp)
     return ConditionalOut(mean, cov)
 

@@ -56,17 +56,22 @@ def initialize(coordinator_address: str | None = None,
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     explicit = coordinator_address is not None and num_processes is not None
-    if coordinator_address is not None and num_processes is None:
-        # a coordinator with no world size cannot be a single-process run —
-        # silently proceeding would have every host train its own model
-        raise ValueError(
-            "initialize(coordinator_address=...) also needs num_processes "
-            "(and process_id) — set them explicitly or export "
-            "JAX_NUM_PROCESSES / JAX_PROCESS_ID on every host")
     # TPU pod auto-detect: multiple worker hostnames (a single-host TPU VM —
     # and this container's tunneled chip — sets TPU_WORKER_HOSTNAMES too)
     hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     tpu_pod = "," in hosts
+    if (coordinator_address is not None and num_processes is None
+            and not tpu_pod):
+        # a coordinator with no world size cannot be a single-process run —
+        # silently proceeding would have every host train its own model.
+        # (On a TPU pod, jax.distributed.initialize auto-detects
+        # num_processes/process_id from the TPU environment, so the explicit
+        # values are optional there.)
+        raise ValueError(
+            "initialize(coordinator_address=...) also needs num_processes "
+            "(and process_id) outside a TPU pod environment — set them "
+            "explicitly or export JAX_NUM_PROCESSES / JAX_PROCESS_ID on "
+            "every host")
     if not (explicit or tpu_pod):
         return False  # single-process: nothing to do
     from jax._src import xla_bridge

@@ -28,7 +28,16 @@ def save_checkpoint(ckpt_dir: str, step: int, state, key: jax.Array) -> str:
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         return path
-    except Exception:
+    except Exception as e:
+        # Loud: a real orbax failure (permissions, half-written dir) must not
+        # silently degrade to the npz path — restore would then take the
+        # orbax branch and fail confusingly.
+        import warnings
+
+        warnings.warn(
+            f"orbax save failed ({type(e).__name__}: {e}); falling back to "
+            f"npz-of-leaves in {ckpt_dir} — restore will use the npz path "
+            "only if the orbax directory is absent", stacklevel=2)
         path = os.path.join(ckpt_dir, f"step_{step}.npz")
         leaves, treedef = jax.tree.flatten(payload)
         np.savez(path, *[np.asarray(l) for l in leaves],
@@ -60,15 +69,18 @@ def restore_checkpoint(ckpt_dir: str, step: int, like: Any):
         ckptr = ocp.StandardCheckpointer()
         try:
             return ckptr.restore(path, like)
-        except Exception as e:
-            # the natgrad state layout evolved during development (e.g. the
-            # carried q_logdet entry); orbax reports a bare tree-structure
-            # mismatch — say what it usually means
-            raise RuntimeError(
-                f"restore of {path} failed — most likely the checkpoint was "
-                "written by an older build with a different TrainState "
-                "layout (natvars entries changed across versions). "
-                "Retrain or restart without --resume.") from e
+        except (ValueError, TypeError, KeyError) as e:
+            # Tree-structure/shape mismatches are the layout-drift signature
+            # (the natgrad state layout evolved across versions, e.g. the
+            # carried q_logdet entry). Other exception types (IO, permission,
+            # corruption) propagate untouched so they aren't misdiagnosed.
+            raise type(e)(
+                f"{e}\n[restore_checkpoint] hint: a structure/shape mismatch "
+                f"restoring {path} usually means the checkpoint was written "
+                "by a build with a different TrainState layout (or different "
+                "--natgrad/--q_diag flags). Rebuild with the original flags, "
+                "or retrain without --resume.").with_traceback(
+                    e.__traceback__) from None
     npz = path + ".npz"
     data = np.load(npz, allow_pickle=False)
     leaves = [data[k] for k in data.files if k != "treedef"]

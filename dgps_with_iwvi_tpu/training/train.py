@@ -192,7 +192,16 @@ def fit(
     # measured no speedup anyway (the scan carry already updates in place).
     chunk_jit = jax.jit(chunk_fn)
     n_chunks = -(-tc.iterations // tc.steps_per_call)
-    start_chunk = int(state.step) // tc.steps_per_call
+    step0 = int(state.step)
+    start_chunk = step0 // tc.steps_per_call
+    if step0 % tc.steps_per_call:
+        # a resumed step that is not a chunk multiple would make the
+        # host-side reported step (and the fold_in key schedule) drift from
+        # the true device step — refuse rather than silently diverge
+        raise ValueError(
+            f"resume step {step0} is not a multiple of steps_per_call="
+            f"{tc.steps_per_call}; resume with the original steps_per_call "
+            "(checkpoints are only written at chunk boundaries)")
     # The callback runs ONE CHUNK BEHIND the dispatch: jax dispatch is
     # async, so chunk c+1 is in flight on the device while the host fetches
     # chunk c's mean loss / step for the callback. Fetching synchronously

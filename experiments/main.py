@@ -67,8 +67,10 @@ def parse_args(argv=None):
                    choices=["gaussian", "bernoulli"])
     p.add_argument("--pallas", default="auto",
                    choices=["auto", "on", "off"],
-                   help="fused Pallas conditional kernels (auto: measured "
-                        "per-shape dispatch; see ops/conditionals.py)")
+                   help="fused Pallas conditional kernels (auto: currently "
+                        "OFF at every shape — XLA's fusion measured faster "
+                        "1.47-2.12x across the 6-shape sweep, "
+                        "docs/PALLAS_SWEEP.md; 'on' forces the kernel)")
     p.add_argument("--var_precision", default="default",
                    choices=["highest", "high", "default"],
                    help="MXU precision for the q-variance matmuls only "
@@ -138,6 +140,12 @@ def run(args) -> dict:
         solve_precision=args.solve_precision)
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
+    if args.ckpt_dir:
+        # full model-structure record next to the checkpoints, so serve.py
+        # rebuilds the exact model without re-specifying every flag
+        from dgps_with_iwvi_tpu.models import save_build_args
+
+        save_build_args(args.ckpt_dir, build, natgrad=args.natgrad)
     print(f"[model] {args.configuration} mode={config.objective} M={args.M} "
           f"K={args.K} N={data.N} D={data.D} on {jax.default_backend()}")
 
@@ -190,8 +198,9 @@ def run(args) -> dict:
         trained, config, data.X_test, data.Y_test, ke,
         y_std=data.Y_std, num_samples=args.num_predict_samples,
         likelihood=args.likelihood)
-    final_elbo = float(elbo(trained, config, X[:args.minibatch_size],
-                            Y[:args.minibatch_size], ke))
+    nb = min(args.minibatch_size, X.shape[0])
+    final_elbo = float(elbo(trained, config, X[:nb], Y[:nb], ke,
+                            data_idx=jnp.arange(nb)))
     # steady-state rate from the monitor (excludes jit compile); fall back
     # to the crude wall-clock estimate for very short runs
     import math

@@ -41,7 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from dgps_with_iwvi_tpu.data import get_regression_data
 from dgps_with_iwvi_tpu.models import BuildArgs, build_model, \
-    predict_y_and_log_density
+    load_build_args, predict_y_and_log_density
 from dgps_with_iwvi_tpu.training import TrainConfig, make_trainer
 from dgps_with_iwvi_tpu.training.checkpoint import latest_step, \
     restore_checkpoint
@@ -60,7 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--d_w", type=int, default=1)
     p.add_argument("--kernel", default="rbf")
     p.add_argument("--likelihood", default="gaussian")
-    p.add_argument("--natgrad", default="final")
+    p.add_argument("--natgrad", default=None,
+                   help="TrainState layout of the checkpoint "
+                        "(default: from build_args.json, else 'final')")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_dir", required=True)
     p.add_argument("--input", default=None,
@@ -96,10 +98,27 @@ def run(args) -> dict:
     data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
     data = get_regression_data(args.dataset, args.split, **data_kw)
     key = jax.random.PRNGKey(args.seed)
-    build = BuildArgs(
-        configuration=args.configuration, mode=args.mode.upper(),
-        num_inducing=args.M, num_iw_samples=args.K, d_w=args.d_w,
-        kernel_kind=args.kernel, likelihood=args.likelihood)
+    # Prefer the BuildArgs persisted by experiments/main.py next to the
+    # checkpoint: it records the FULL model structure (q_diag, white,
+    # amortized, precision knobs, ...), so any checkpoint restores exactly.
+    loaded = load_build_args(args.ckpt_dir, with_meta=True)
+    natgrad = args.natgrad
+    if loaded is None:
+        build = BuildArgs(
+            configuration=args.configuration, mode=args.mode.upper(),
+            num_inducing=args.M, num_iw_samples=args.K, d_w=args.d_w,
+            kernel_kind=args.kernel, likelihood=args.likelihood)
+        natgrad = natgrad or "final"
+        print("[serve] no build_args.json in ckpt_dir; rebuilding from "
+              "flags (pre-r3 checkpoint?) — structure flags like --q_diag/"
+              "--no_white are NOT representable this way")
+    else:
+        build, meta = loaded
+        natgrad = natgrad or meta.get("natgrad", "final")
+        print(f"[serve] model structure from {args.ckpt_dir}/build_args.json"
+              f" ({build.configuration} mode={build.mode} M="
+              f"{build.num_inducing} K={build.num_iw_samples} "
+              f"natgrad={natgrad})")
     kb, kt, ke = jax.random.split(key, 3)
     X_tr = jnp.asarray(data.X_train)
     Y_tr = jnp.asarray(data.Y_train)
@@ -108,7 +127,7 @@ def run(args) -> dict:
     step = latest_step(args.ckpt_dir)
     if step is None:
         raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
-    tc = TrainConfig(natgrad=args.natgrad)
+    tc = TrainConfig(natgrad=natgrad)
     init_fn, _, _, params_fn = make_trainer(config, tc)
     like = {"state": init_fn(params0), "key": kt}
     state = restore_checkpoint(args.ckpt_dir, step, like)["state"]

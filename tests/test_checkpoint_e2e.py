@@ -123,6 +123,37 @@ class TestHarnessE2E:
             10 * float(np.asarray(data.Y_std).max())
         assert res["n"] == n
 
+    def test_serve_restores_structure_flags_from_build_args(self, tmp_path):
+        """A checkpoint trained with structure flags serve.py does not
+        expose (--q_diag --non_amortized) must still serve: main.py
+        persists build_args.json next to the checkpoints and serve.py
+        prefers it over its own reduced flag set (ADVICE r2)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+        from experiments.serve import parse_args as serve_args, run as serve
+
+        ck = str(tmp_path / "ck")
+        run(parse_args([
+            "--dataset", "yacht", "--configuration", "LG", "--mode", "IW",
+            "--K", "3", "--M", "8", "--iterations", "50",
+            "--minibatch_size", "64", "--steps_per_call", "50",
+            "--num_predict_samples", "10", "--print_every", "0",
+            "--results_db", str(tmp_path / "r.db"), "--seed", "0",
+            "--q_diag", "--non_amortized", "--natgrad", "none",
+            "--ckpt_dir", ck, "--ckpt_every", "50"]))
+        assert os.path.exists(os.path.join(ck, "build_args.json"))
+        out = str(tmp_path / "pred.npz")
+        # note: NO structure flags passed (not even --natgrad, which fixes
+        # the TrainState layout) — they must all come from the json
+        res = serve(serve_args([
+            "--dataset", "yacht", "--ckpt_dir", ck, "--output", out,
+            "--num_predict_samples", "10", "--batch_size", "16"]))
+        z = np.load(out)
+        assert np.all(np.isfinite(z["mean"])) and np.all(z["var"] > 0)
+        assert res["n"] == z["mean"].shape[0]
+
     def test_serve_external_npz_input_standardizes(self, tmp_path):
         """serve.py with --input: raw-unit X/Y rows are standardized with
         the TRAIN split's statistics before scoring; predictions on the raw

@@ -325,3 +325,31 @@ class TestFullCovPrediction:
         for s in range(3):
             eig = np.linalg.eigvalsh(np.asarray(cov_f)[s, 0])
             assert eig.min() > -1e-8
+
+    def test_non_whitened_marginals_match(self):
+        """predict_f_full_cov with white=False layers (--no_white family):
+        diagonal must equal the marginal predict_f variance — closes the
+        round-2 asymmetry where full-cov asserted white=True
+        (gpflow conditionals handle full_cov for both parameterizations)."""
+        X, Y = _toy_data(10, 2)
+        cfg = DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=2, d_out=2, num_inducing=6, white=False),
+                GPLayerConfig(d_in=2, d_out=1, num_inducing=6, final=True,
+                              white=False),
+            ),
+            num_data=10, num_samples=3)
+        params = init_dgp(KEY, cfg, inner_q_sqrt_scale=0.3, dtype=jnp.float64)
+        from dgps_with_iwvi_tpu.models import predict_f_full_cov
+
+        k = jax.random.PRNGKey(7)
+        mean_m, var_m = predict_f(params, cfg, X, k, 3)
+        mean_f, cov_f = predict_f_full_cov(params, cfg, X, k, 3)
+        np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_m),
+                                   rtol=1e-9)
+        diag = np.diagonal(np.asarray(cov_f), axis1=-2, axis2=-1)
+        np.testing.assert_allclose(diag[:, 0, :], np.asarray(var_m)[..., 0],
+                                   rtol=1e-7, atol=1e-10)
+        for s in range(3):
+            eig = np.linalg.eigvalsh(np.asarray(cov_f)[s, 0])
+            assert eig.min() > -1e-8
