@@ -331,7 +331,9 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
         Kff = _kern.K(fp["kernel"], Fs, Fs, kind=fcfg.kernel_kind)
         out = _cond.base_conditional_whitened_fullcov(
             Kuf, Lm, Kff, fp["q_mu"], q_sqrt, white=fcfg.white)
-        if fcfg.mean_function == "skip":
+        from .layers import resolved_mean_function
+
+        if resolved_mean_function(fcfg) == "skip":
             W = fp.get("mean_W")
             if W is not None:
                 W = jax.lax.stop_gradient(W)

@@ -43,7 +43,14 @@ class GPLayerConfig:
     d_out: int
     num_inducing: int
     kernel_kind: str = "rbf"
-    mean_function: str = "skip"  # 'skip' (identity / fixed linear) or 'zero'
+    # 'skip' (identity / fixed linear), 'zero', or 'auto' — the reference
+    # convention (Salimbeni-2017, ref:dgps_with_iwvi/layers.py): skip
+    # connections between INNER layers, Zero mean on the FINAL layer. 'auto'
+    # resolves to that; pass 'skip'/'zero' to override per layer. (Round-3
+    # fix: built models previously gave the final layer a fixed skip
+    # projection of the last hidden features, off-spec — it let the final
+    # GP go dead under the IW objective, see benchmarks/IW_VS_VI.md.)
+    mean_function: str = "auto"
     final: bool = False  # final layers return (mean, var) instead of samples
     white: bool = True   # whitened q(v), u = Lm v (reference default)
     q_diag: bool = False  # diagonal q covariance (gpflow SVGP q_diag=True);
@@ -108,7 +115,7 @@ def gp_layer_init(
         "q_sqrt": q_sqrt0,
     }
     W = mean_functions.skip_projection(cfg.d_in, cfg.d_out, dtype)
-    if cfg.mean_function == "skip" and W is not None:
+    if resolved_mean_function(cfg) == "skip" and W is not None:
         params["mean_W"] = W  # fixed; stop_gradient applied in propagate
     return params
 
@@ -127,6 +134,14 @@ def lv_layer_init(key: jax.Array, cfg: LVLayerConfig, dtype=jnp.float32):
             key, d_x + cfg.d_y, cfg.d_w, cfg.encoder_hidden,
             cfg.encoder_init_logvar, dtype),
     }
+
+
+def resolved_mean_function(cfg: GPLayerConfig) -> str:
+    """'auto' -> the reference convention (Salimbeni-2017 skips): 'zero'
+    on the final layer, 'skip' between inner layers."""
+    if cfg.mean_function == "auto":
+        return "zero" if cfg.final else "skip"
+    return cfg.mean_function
 
 
 def gp_layer_propagate(
@@ -182,7 +197,7 @@ def gp_layer_propagate(
             jitter_tries=jitter_tries, white=cfg.white,
             var_precision=var_precision, solve_precision=solve_precision,
             Lm=Lm, Linv=Linv, q_S=q_cov)
-    if cfg.mean_function == "skip":
+    if resolved_mean_function(cfg) == "skip":
         W = params.get("mean_W")
         if W is not None:
             W = jax.lax.stop_gradient(W)
