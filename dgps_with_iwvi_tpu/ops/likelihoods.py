@@ -18,13 +18,18 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
+import math as _math
+
 import jax.numpy as jnp
 
 from .transforms import positive, positive_inverse
 
 LikelihoodParams = Dict[str, jax.Array]
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+# math, not jnp: a module-level jnp call would initialize the jax
+# backend at IMPORT time, breaking the multi-process contract that
+# jax.distributed.initialize runs before any backend use
+_LOG2PI = float(_math.log(2.0 * _math.pi))
 
 
 def gaussian_params(noise_variance: float = 0.05, dtype=jnp.float32) -> LikelihoodParams:

@@ -15,11 +15,36 @@ import jax
 import numpy as np
 
 
+def _globalize(payload):
+    """Multi-process: orbax serializes GLOBAL arrays only. Host-local leaves
+    (e.g. the PRNG key, or host scalars) are converted to fully-replicated
+    global arrays over all devices; already-global (not-fully-addressable)
+    leaves pass through. No-op single-process."""
+    if jax.process_count() == 1:
+        return payload
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.asarray(jax.devices()), ("_all",))
+    s = NamedSharding(mesh, PartitionSpec())
+
+    def fix(a):
+        if isinstance(a, jax.Array) and a.is_fully_addressable:
+            h = np.asarray(a)
+            return jax.make_array_from_callback(h.shape, s,
+                                                lambda idx: h[idx])
+        return a
+
+    return jax.tree.map(fix, payload)
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state, key: jax.Array) -> str:
     """Orbax-backed save; falls back to npz-of-leaves if orbax is unhappy
-    (keeps checkpointing working in minimal environments)."""
+    (keeps checkpointing working in minimal environments). Multi-process:
+    collective — every process must call it; no npz fallback (a per-process
+    npz would silently shear the global checkpoint)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    payload = {"state": state, "key": key}
+    payload = _globalize({"state": state, "key": key})
+    multiprocess = jax.process_count() > 1
     try:
         import orbax.checkpoint as ocp
 
@@ -29,6 +54,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state, key: jax.Array) -> str:
         ckptr.wait_until_finished()
         return path
     except Exception as e:
+        if multiprocess:
+            raise  # collective save must not shear into per-process npz files
         # Loud: a real orbax failure (permissions, half-written dir) must not
         # silently degrade to the npz path — restore would then take the
         # orbax branch and fail confusingly.
@@ -66,6 +93,7 @@ def restore_checkpoint(ckpt_dir: str, step: int, like: Any):
     if os.path.exists(path):
         import orbax.checkpoint as ocp
 
+        like = _globalize(like)  # multi-process: template must be global too
         ckptr = ocp.StandardCheckpointer()
         try:
             return ckptr.restore(path, like)
