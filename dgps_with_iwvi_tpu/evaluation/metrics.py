@@ -18,6 +18,21 @@ import numpy as np
 from ..models import dgp
 
 
+def shard_eval_batch(mesh, xb, yb):
+    """Place an eval/serving batch row-sharded over EVERY mesh device (all
+    axes stacked); batch size must be a device-count multiple."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    s = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+    return jax.device_put(xb, s), jax.device_put(yb, s)
+
+
+def replicate_for_eval(mesh, params):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+
+
 def evaluate(
     params,
     config,
@@ -29,6 +44,7 @@ def evaluate(
     num_samples: int = 100,
     batch_size: int = 1024,
     likelihood: str = "gaussian",
+    mesh=None,
 ):
     """-> dict(test_loglik, test_rmse, test_loglik_normalized, test_rmse_normalized).
 
@@ -37,14 +53,23 @@ def evaluate(
 
     likelihood='bernoulli': labels are not unit-standardized, so no
     un-normalization applies; adds test_accuracy (mixture p > 0.5).
+
+    mesh: optional jax.sharding.Mesh — shards test ROWS over every mesh
+    device (params replicated) and lets GSPMD partition the one-propagate
+    predictive; per-point outputs are BIT-IDENTICAL to the single-device
+    path because threefry is counter-based per element
+    (jax_threefry_partitionable), tested in tests/test_parallel.py.
     """
     X_test = jnp.asarray(X_test)
     Y_test = jnp.asarray(Y_test)
     n = X_test.shape[0]
     bs = min(batch_size, n)
+    if mesh is not None:
+        bs += (-bs) % mesh.devices.size  # device-count multiple
+        params = replicate_for_eval(mesh, params)
 
     @jax.jit
-    def batch_eval(xb, yb, k):
+    def batch_eval(params, xb, yb, k):
         # one propagate for BOTH the density and the moments (identical
         # results to separate predict_log_density/predict_y calls with the
         # same key, at half the compute)
@@ -60,7 +85,9 @@ def evaluate(
         if pad:  # pad to the compiled batch size, mask after
             xb = jnp.concatenate([xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)])
             yb = jnp.concatenate([yb, jnp.zeros((pad,) + yb.shape[1:], yb.dtype)])
-        ld, mean = batch_eval(xb, yb, jax.random.fold_in(key, start))
+        if mesh is not None:
+            xb, yb = shard_eval_batch(mesh, xb, yb)
+        ld, mean = batch_eval(params, xb, yb, jax.random.fold_in(key, start))
         take = bs - pad
         lds.append(np.asarray(ld)[:take])
         err_chunks.append(np.asarray(mean - yb)[:take])  # normalized units

@@ -73,6 +73,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--depth", type=int, default=8,
                    help="async calls in flight")
+    p.add_argument("--shard", action="store_true",
+                   help="shard scoring rows over ALL local devices (params "
+                        "replicated, GSPMD-partitioned predictive) — "
+                        "per-point outputs identical to single-device")
     p.add_argument("--data_dir", default=None)
     return p.parse_args(argv)
 
@@ -143,13 +147,35 @@ def run(args) -> dict:
 
     S = args.num_predict_samples
     bs = min(args.batch_size, n)
+    mesh = None
+    if args.shard and len(jax.devices()) > 1:
+        from dgps_with_iwvi_tpu.evaluation.metrics import (
+            replicate_for_eval, shard_eval_batch)
+        from dgps_with_iwvi_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dp=len(jax.devices()), n_k=1)
+        bs += (-bs) % mesh.devices.size
+        params = replicate_for_eval(mesh, params)
+        print(f"[serve] sharding rows over {mesh.devices.size} devices")
 
     @jax.jit
-    def score(xb, yb, k):
+    def score(params, xb, yb, k):
         return predict_y_and_log_density(params, config, xb, yb, k, S)
 
+    def _place(xb, yb):
+        if mesh is None:
+            return xb, yb
+        from dgps_with_iwvi_tpu.evaluation.metrics import shard_eval_batch
+
+        return shard_eval_batch(mesh, xb, yb)
+
     # compile outside the timed region (first call traces + compiles)
-    warm = score(Xs[:bs], Ys[:bs], ke)  # bs = min(batch_size, n)
+    wx, wy = Xs[:bs], Ys[:bs]
+    if wx.shape[0] < bs:
+        padw = bs - wx.shape[0]
+        wx = jnp.concatenate([wx, jnp.zeros((padw,) + wx.shape[1:], wx.dtype)])
+        wy = jnp.concatenate([wy, jnp.zeros((padw,) + wy.shape[1:], wy.dtype)])
+    warm = score(params, *_place(wx, wy), ke)
     jax.block_until_ready(warm[1])
 
     # fixed-size padded batches; --depth calls kept in flight
@@ -162,7 +188,9 @@ def run(args) -> dict:
         if pad:
             xb = jnp.concatenate([xb, jnp.zeros((pad,) + xb.shape[1:], xb.dtype)])
             yb = jnp.concatenate([yb, jnp.zeros((pad,) + yb.shape[1:], yb.dtype)])
-        outs.append(((start, pad), score(xb, yb, jax.random.fold_in(ke, start))))
+        xb, yb = _place(xb, yb)
+        outs.append(((start, pad),
+                     score(params, xb, yb, jax.random.fold_in(ke, start))))
         if len(outs) >= args.depth:  # bound in-flight work
             jax.block_until_ready(outs[-args.depth][1][1])
     means, variances, lds = [], [], []

@@ -284,6 +284,34 @@ class TestShardedParity:
         ref2, l2_ref = cj(state, Xs, Ys, jax.random.PRNGKey(2))
         np.testing.assert_array_equal(np.asarray(l2), np.asarray(l2_ref))
 
+    def test_sharded_evaluate_matches_single_device(self):
+        """evaluate(mesh=...) — rows GSPMD-sharded over all 8 devices,
+        params replicated — returns IDENTICAL metrics to the single-device
+        path (threefry is counter-based per element, so the partitioned
+        predictive draws the same samples; VERDICT r2 item 3)."""
+        from dgps_with_iwvi_tpu.evaluation import evaluate
+
+        mesh = make_mesh(4, 2)
+        X, Y = _data(n=96, d=3, dtype=jnp.float32)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=3, d_y=1),
+                GPLayerConfig(d_in=4, d_out=3, num_inducing=6),
+                GPLayerConfig(d_in=3, d_out=1, num_inducing=6,
+                              mean_function="zero", final=True),
+            ),
+            num_data=96, objective="iw", num_iw_samples=4, num_samples=8)
+        params = init_dgp(KEY, cfg, dtype=jnp.float32)
+        ke = jax.random.PRNGKey(3)
+        y_std = np.asarray([[2.5]])
+        # batch_size already a device-count multiple so the chunking (and
+        # thus the per-chunk fold_in keys) is identical in both paths
+        kw = dict(y_std=y_std, num_samples=8, batch_size=32)
+        ref = evaluate(params, cfg, X, Y, ke, **kw)
+        got = evaluate(params, cfg, X, Y, ke, mesh=mesh, **kw)
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-6), k
+
     def test_distributed_initialize_noop_single_process(self):
         from dgps_with_iwvi_tpu.parallel import distributed
 
