@@ -6,18 +6,24 @@ K=20 IW samples, amortized encoder, M=128 inducing points, minibatch 512,
 kin8nm-shaped data (N=7372, D=8), natural-gradient q(u) + Adam — trained as
 scan-chunked jitted steps on the TPU (steps_per_call=2000 so the ~30 ms
 host->device round trip of the tunnel amortizes to ~15 us/step; the
-on-device step itself is ~0.40 ms).
+on-device step itself is ~0.35 ms).
 
 Robustness (VERDICT r1 item 8): each chunk is timed separately after two
 warm rounds and the MEDIAN chunk rate is reported, so a single
-host/tunnel-noise outlier (the 13x 'energy split 2' artifact of r1) cannot
-distort the headline number.
+host/tunnel-noise outlier cannot distort the headline number.
 
-MFU: model FLOPs per step from XLA's own cost analysis of the compiled
-step, divided by device peak. Two caveats recorded in the output: the
-cost-analysis FLOPs are nominal (HIGH/HIGHEST-precision matmuls execute 3x/6x
-bf16 MXU passes per nominal FLOP), and peak is the bf16 MXU number for the
-detected device.
+MFU, two ways (VERDICT r2 item 4):
+- nominal: XLA cost-analysis model FLOPs / peak — understates utilization
+  because HIGH/HIGHEST-precision matmuls execute 3x/6x bf16 MXU passes per
+  nominal FLOP (the measured precision policy of this framework).
+- pass-adjusted: every dot_general parsed out of the lowered StableHLO with
+  its precision attribute and re-weighted by its bf16 pass count
+  (DEFAULT=1, HIGH=3, HIGHEST=6). This counts the MXU work the chip
+  actually executes.
+
+A second B=8192 throughput-mode row shows the compute-bound regime on the
+same model (the flagship B=512 step is partially latency/bandwidth-bound;
+docs/PERF.md has the step anatomy).
 
 Baseline: the same computation in CPU float64 (torch autograd stand-in for
 the unavailable TF1/GPflow CPU stack; see benchmarks/torch_cpu_baseline.py
@@ -40,6 +46,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+from dgps_with_iwvi_tpu.utils.flops import (device_peak as _device_peak,
+                                            program_cost)
+
 # Persistent compilation cache: the axon remote-compile tunnel costs
 # seconds per (re)compiled executable, and every fresh process would
 # otherwise recompile even tiny init ops.
@@ -47,29 +56,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-# bf16 MXU peak FLOP/s by device kind (dense); fallback via env var
-PEAK_FLOPS = {
-    "TPU v5e": 197e12,
-    "TPU v5 lite": 197e12,
-    "TPU v4": 275e12,
-    "TPU v5p": 459e12,
-    "TPU v6e": 918e12,
-}
-
-
-def _device_peak() -> tuple[str, float | None]:
-    kind = jax.devices()[0].device_kind
-    if os.environ.get("DGP_PEAK_FLOPS"):
-        return kind, float(os.environ["DGP_PEAK_FLOPS"])
-    for k, v in PEAK_FLOPS.items():
-        if k.lower() in kind.lower():
-            return kind, v
-    return kind, None
-
-
-def measure_tpu(chunks: int = 6, steps_per_call: int = 2000):
-    """Returns (median steps/s, flops/step or None, device kind, peak,
-    per-chunk rates list)."""
+def measure_tpu(chunks: int = 6, steps_per_call: int = 2000,
+                minibatch: int = 512) -> dict:
+    """Median steps/s + nominal and pass-adjusted FLOP/MFU figures."""
     import numpy as np
 
     from dgps_with_iwvi_tpu.data import get_regression_data
@@ -83,22 +72,18 @@ def measure_tpu(chunks: int = 6, steps_per_call: int = 2000):
                      num_iw_samples=20)
     config, params = build_model(key, args, X, Y)
     tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad="final",
-                     minibatch_size=512, steps_per_call=steps_per_call)
+                     minibatch_size=minibatch, steps_per_call=steps_per_call)
     init_fn, _, chunk_fn, _ = make_trainer(config, tc)
     state = init_fn(params)
     chunk_jit = jax.jit(chunk_fn)  # no donation: axon-backend bug, see train.py
 
-    # XLA's model-FLOP estimate. cost_analysis counts the while (scan) body
-    # ONCE regardless of trip count — verified: identical "flops" for
-    # steps_per_call 100 and 500 — so the chunk's figure IS the per-step
-    # figure (matches the hand count: ~11.6 GFLOP/step at this shape).
-    flops_per_step = None
-    try:
-        cost = chunk_jit.lower(state, X, Y, key).compile().cost_analysis()
-        if cost and cost.get("flops", 0) > 0:
-            flops_per_step = float(cost["flops"])
-    except Exception:
-        pass
+    # nominal + pass-adjusted per-step FLOPs (scan body counted once — the
+    # cost-analysis convention, so the chunk figure IS the per-step figure;
+    # ~11.6 GFLOP/step nominal at the flagship shape)
+    cost = program_cost(chunk_jit.lower(state, X, Y, key))
+    flops_per_step = cost["flops"]
+    adj_flops_per_step = cost["adjusted_flops"]
+    by_prec = cost["dot_flops_by_precision"]
 
     # compile + two warm rounds: the first executed program in a process
     # pays tunnel/allocator warmup that would understate steady-state rate
@@ -113,18 +98,34 @@ def measure_tpu(chunks: int = 6, steps_per_call: int = 2000):
         rates.append(steps_per_call / (time.perf_counter() - t0))
     assert bool(jnp.all(jnp.isfinite(losses))), "non-finite training loss"
     kind, peak = _device_peak()
-    return float(np.median(rates)), flops_per_step, kind, peak, rates
+    value = float(np.median(rates))
+    achieved = flops_per_step * value if flops_per_step else None
+    achieved_adj = adj_flops_per_step * value if adj_flops_per_step else None
+    return {
+        "steps_per_sec": value,
+        "chunk_rates": rates,
+        "flops_per_step": flops_per_step,
+        "adjusted_flops_per_step": adj_flops_per_step,
+        "dot_flops_by_precision": by_prec,
+        "device_kind": kind,
+        "peak": peak,
+        "mfu": (achieved / peak if achieved and peak else None),
+        "mfu_adjusted": (achieved_adj / peak
+                         if achieved_adj and peak else None),
+    }
 
 
 def main():
-    value, flops_per_step, kind, peak, rates = measure_tpu()
+    flag = measure_tpu()
+    # throughput mode: same model, B=8192 — the compute-bound regime
+    thr = measure_tpu(chunks=4, steps_per_call=250, minibatch=8192)
     try:
         from benchmarks.torch_cpu_baseline import measure_torch_steps_per_sec
 
         baseline = measure_torch_steps_per_sec()
     except Exception:
         baseline = None
-    achieved = flops_per_step * value if flops_per_step else None
+    value = flag["steps_per_sec"]
     out = {
         "metric": "train_steps_per_sec (LGG latent-variable DGP, IWVI K=20, "
                   "M=128, B=512, kin8nm-shaped, natgrad+Adam)",
@@ -134,16 +135,26 @@ def main():
         "baseline_cpu_f64_steps_per_sec": round(baseline, 3) if baseline else None,
         "baseline_cpu_cores": os.cpu_count(),
         "backend": jax.default_backend(),
-        "device_kind": kind,
-        "chunk_rates_steps_per_sec": [round(r, 1) for r in rates],
-        "model_flops_per_step": flops_per_step,
-        "achieved_model_flops_per_sec": achieved,
-        "peak_bf16_flops_per_sec": peak,
-        "mfu": (round(achieved / peak, 5)
-                if achieved and peak else None),
-        "mfu_note": "model FLOPs from XLA cost analysis (nominal; "
-                    "HIGH/HIGHEST matmuls execute 3x/6x bf16 passes per "
-                    "nominal FLOP); peak is dense bf16 MXU",
+        "device_kind": flag["device_kind"],
+        "chunk_rates_steps_per_sec": [round(r, 1) for r in flag["chunk_rates"]],
+        "model_flops_per_step": flag["flops_per_step"],
+        "peak_bf16_flops_per_sec": flag["peak"],
+        "mfu": round(flag["mfu"], 5) if flag["mfu"] else None,
+        "mfu_adjusted": (round(flag["mfu_adjusted"], 5)
+                         if flag["mfu_adjusted"] else None),
+        "adjusted_flops_per_step": flag["adjusted_flops_per_step"],
+        "dot_flops_by_precision": flag["dot_flops_by_precision"],
+        "mfu_note": "mfu = nominal XLA cost-analysis FLOPs / dense-bf16 "
+                    "peak; mfu_adjusted re-weights each dot by its "
+                    "precision's bf16 MXU passes (DEFAULT=1, HIGH=3, "
+                    "HIGHEST=6) — the work the chip actually runs",
+        "throughput_mode_B8192": {
+            "steps_per_sec": round(thr["steps_per_sec"], 2),
+            "points_per_sec": round(thr["steps_per_sec"] * 8192, 0),
+            "mfu": round(thr["mfu"], 5) if thr["mfu"] else None,
+            "mfu_adjusted": (round(thr["mfu_adjusted"], 5)
+                             if thr["mfu_adjusted"] else None),
+        },
     }
     print(json.dumps(out))
 

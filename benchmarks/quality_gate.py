@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Codified precision/numerics quality gate (VERDICT r2 item 5).
+
+The rule this repo learned the hard way (docs/PERF.md): CPU-float64 unit
+tests CANNOT catch TPU matmul-precision regressions — only full-convergence
+trained-quality A/B against a known-good setting can. Round 2 ran that A/B
+by hand to gate `var_precision='default'` and `solve_precision='high'`;
+this script makes it one reproducible command so no future precision or
+numerics change lands ungated.
+
+Protocol (exactly the round-2 gate):
+- 4 configs spanning the objective/optimizer space, chosen because they
+  caught real regressions before: LG-energy (natgrad+Adam, the config where
+  default-precision natgrad matmuls silently degraded ELBO -551 -> -2258),
+  LG-kin8nm, LGG-kin8nm (deep + IW), GG-energy ADAM-ONLY (the config whose
+  step-1 NaN exposed the sqrt-at-zero AD hazard — always gate on an
+  Adam-only config).
+- each trained 15k steps under (a) the reference setting — everything
+  HIGHEST — and (b) the candidate setting (default: the production
+  defaults), same seed/data.
+- PASS iff on EVERY config: all losses finite, converged ELBO within
+  rel_tol (default 1e-3), test NLL within nll_tol (default 0.005 nats).
+
+Writes benchmarks/QUALITY_GATE.md (+ .json) with a dated verdict.
+
+    python benchmarks/quality_gate.py                   # gate the defaults
+    python benchmarks/quality_gate.py --var_precision high   # gate a change
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from dgps_with_iwvi_tpu.data import get_regression_data
+from dgps_with_iwvi_tpu.evaluation import evaluate
+from dgps_with_iwvi_tpu.models import BuildArgs, build_model, elbo
+from dgps_with_iwvi_tpu.training import TrainConfig, fit
+
+# (label, dataset, configuration, mode, K, natgrad)
+GATE_CONFIGS = [
+    ("LG-energy natgrad", "energy", "LG", "IW", 5, "final"),
+    ("LG-kin8nm natgrad", "kin8nm", "LG", "IW", 5, "final"),
+    ("LGG-kin8nm natgrad", "kin8nm", "LGG", "IW", 20, "final"),
+    ("GG-energy ADAM-ONLY", "energy", "GG", "VI", 1, "none"),
+]
+
+
+def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
+                solve_precision, iterations, seed=0):
+    data = get_regression_data(dataset, 0)
+    X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
+    key = jax.random.PRNGKey(seed)
+    b = BuildArgs(configuration=conf, mode=mode, num_inducing=128,
+                  num_iw_samples=K, var_precision=var_precision,
+                  solve_precision=solve_precision)
+    cfg, params = build_model(key, b, X, Y)
+    tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad=natgrad,
+                     minibatch_size=512, iterations=iterations,
+                     steps_per_call=min(500, iterations))
+    losses = []
+    tr, _ = fit(key, cfg, params, X, Y, tc,
+                callback=lambda s, l, _st: losses.append(l))
+    ke = jax.random.PRNGKey(100)
+    nb = min(2048, X.shape[0])
+    e = float(elbo(tr, cfg, X[:nb], Y[:nb], ke)) / cfg.num_data
+    m = evaluate(tr, cfg, data.X_test, data.Y_test, ke, y_std=data.Y_std,
+                 num_samples=100)
+    return {"elbo_per_point": e, "test_nll": -m["test_loglik"],
+            "test_rmse": m["test_rmse"],
+            "finite": bool(np.all(np.isfinite(losses)))}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--var_precision", default="default",
+                   choices=["highest", "high", "default"],
+                   help="candidate q-variance matmul precision")
+    p.add_argument("--solve_precision", default="high",
+                   choices=["highest", "high"],
+                   help="candidate solve-path precision")
+    p.add_argument("--iterations", type=int, default=15000)
+    p.add_argument("--rel_tol", type=float, default=1e-3,
+                   help="max |ELBO_cand - ELBO_ref| / |ELBO_ref|")
+    p.add_argument("--nll_tol", type=float, default=0.005,
+                   help="max |NLL_cand - NLL_ref| (nats)")
+    p.add_argument("--quick", action="store_true",
+                   help="smoke mode: 500 iterations, loose tolerances")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "QUALITY_GATE"))
+    args = p.parse_args(argv)
+    if args.quick:
+        args.iterations, args.rel_tol, args.nll_tol = 500, 0.2, 0.5
+
+    rows, ok_all = [], True
+    for gc in GATE_CONFIGS:
+        label = gc[0]
+        t0 = time.time()
+        ref = run_setting(*gc, var_precision="highest",
+                          solve_precision="highest",
+                          iterations=args.iterations)
+        cand = run_setting(*gc, var_precision=args.var_precision,
+                           solve_precision=args.solve_precision,
+                           iterations=args.iterations)
+        d_elbo = abs(cand["elbo_per_point"] - ref["elbo_per_point"]) / \
+            max(abs(ref["elbo_per_point"]), 1e-9)
+        d_nll = abs(cand["test_nll"] - ref["test_nll"])
+        ok = (ref["finite"] and cand["finite"]
+              and d_elbo <= args.rel_tol and d_nll <= args.nll_tol)
+        ok_all = ok_all and ok
+        rows.append({
+            "config": label, "ok": ok,
+            "elbo_ref": ref["elbo_per_point"],
+            "elbo_cand": cand["elbo_per_point"], "d_elbo_rel": d_elbo,
+            "nll_ref": ref["test_nll"], "nll_cand": cand["test_nll"],
+            "d_nll": d_nll, "finite": ref["finite"] and cand["finite"],
+            "seconds": time.time() - t0,
+        })
+        print(f"  {label:24s} {'PASS' if ok else 'FAIL'} "
+              f"dELBO={d_elbo:.2e} dNLL={d_nll:.4f} "
+              f"({rows[-1]['seconds']:.0f}s)", flush=True)
+
+    verdict = {
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+        "candidate": {"var_precision": args.var_precision,
+                      "solve_precision": args.solve_precision},
+        "reference": {"var_precision": "highest",
+                      "solve_precision": "highest"},
+        "iterations": args.iterations,
+        "tolerances": {"elbo_rel": args.rel_tol, "nll_nats": args.nll_tol},
+        "backend": jax.default_backend(),
+        "pass": ok_all,
+        "rows": rows,
+    }
+    with open(args.out + ".json", "w") as f:
+        json.dump(verdict, f, indent=1)
+    with open(args.out + ".md", "w") as f:
+        f.write(f"# Quality gate — {'PASS' if ok_all else 'FAIL'}\n\n"
+                f"{verdict['date']}, backend={verdict['backend']}, "
+                f"candidate var={args.var_precision} "
+                f"solve={args.solve_precision} vs all-HIGHEST, "
+                f"{args.iterations} steps, tol: ELBO rel {args.rel_tol}, "
+                f"NLL {args.nll_tol} nats.\n\n"
+                "| config | verdict | ELBO/n ref | ELBO/n cand | dELBO rel "
+                "| NLL ref | NLL cand | dNLL |\n|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['config']} | {'PASS' if r['ok'] else 'FAIL'} | "
+                    f"{r['elbo_ref']:+.4f} | {r['elbo_cand']:+.4f} | "
+                    f"{r['d_elbo_rel']:.2e} | {r['nll_ref']:+.4f} | "
+                    f"{r['nll_cand']:+.4f} | {r['d_nll']:.4f} |\n")
+    print(f"gate: {'PASS' if ok_all else 'FAIL'} -> {args.out}.md")
+    return verdict
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main()["pass"] else 1)

@@ -211,6 +211,25 @@ def run(args) -> dict:
     if not math.isfinite(steps_per_sec) or steps_per_sec <= 0:
         steps_per_sec = args.iterations / train_time
 
+    # nominal + pass-adjusted MFU of the training step (utils/flops.py);
+    # the chunk program is already compiled (cache hit), so this is cheap
+    mfu = mfu_adj = flops_per_step = None
+    try:
+        from dgps_with_iwvi_tpu.training import make_trainer
+        from dgps_with_iwvi_tpu.utils.flops import device_peak, program_cost
+
+        init_fn, _, chunk_fn, _ = make_trainer(config, tc)
+        cost = program_cost(jax.jit(chunk_fn).lower(
+            init_fn(params), X, Y, kt))
+        _, peak = device_peak()
+        flops_per_step = cost["flops"]
+        if peak and cost["flops"]:
+            mfu = cost["flops"] * steps_per_sec / peak
+        if peak and cost["adjusted_flops"]:
+            mfu_adj = cost["adjusted_flops"] * steps_per_sec / peak
+    except Exception:
+        pass
+
     row = {
         "dataset": args.dataset, "split": args.split,
         "configuration": args.configuration, "mode": args.mode.upper(),
@@ -219,6 +238,8 @@ def run(args) -> dict:
         "lr": args.lr, "gamma": args.gamma,
         **metrics,
         "elbo": final_elbo, "steps_per_sec": steps_per_sec,
+        "flops_per_step": flops_per_step,
+        "mfu": mfu, "mfu_adjusted": mfu_adj,
         "synthetic_data": data.synthetic,
         "backend": jax.default_backend(), "train_time_s": train_time,
     }
