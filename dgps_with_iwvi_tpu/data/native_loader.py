@@ -3,8 +3,12 @@
 The reference's host-side data path is numpy + urllib inside
 bayesian_benchmarks feeding the TF1 runtime; this binds the TPU rebuild's
 C++ equivalent (native/src/dgp_data.cpp): fast delimited-text parsing for
-year-scale files, fused standardization, deterministic splits, minibatch
-index streams and k-means inducing init. Falls back to pure numpy when the
+year-scale files, fused standardization, and k-means inducing init.
+(A Fisher-Yates permutation and a with-replacement minibatch index stream
+existed here through round 2 but had no production consumer — split
+permutations must stay numpy-MT for bb split parity, and minibatching is
+an on-device gather inside the jitted step — so they were dropped rather
+than kept as shelf inventory.) Falls back to pure numpy when the
 shared library isn't built — build with `make -C native`.
 
 pybind11 is not in this image, so the ABI is plain C consumed via ctypes.
@@ -49,8 +53,6 @@ def load_library(build: bool = True):
     lib.dgp_free.argtypes = [ctypes.c_void_p]
     lib.dgp_standardize.argtypes = [_pd, _i64, _i64, _i64, _pd, _pd,
                                     ctypes.c_double]
-    lib.dgp_permutation.argtypes = [_i64, _u64, _pi]
-    lib.dgp_minibatch_stream.argtypes = [_i64, _i64, _i64, _u64, _u64, _pi]
     lib.dgp_kmeans.argtypes = [_pd, _i64, _i64, _i64, _i64, _u64, _pd]
     return lib
 
@@ -125,29 +127,6 @@ def standardize(X: np.ndarray, n_train: int, eps: float = 1e-10):
                         mean.ctypes.data_as(_pd), std.ctypes.data_as(_pd),
                         eps)
     return X, mean, std
-
-
-def permutation(n: int, seed: int) -> np.ndarray:
-    lib = load_library()
-    if lib is None:
-        return np.random.RandomState(seed).permutation(n).astype(np.int64)
-    perm = np.empty(n, np.int64)
-    lib.dgp_permutation(n, seed, perm.ctypes.data_as(_pi))
-    return perm
-
-
-def minibatch_stream(n: int, batch_size: int, n_batches: int, seed: int,
-                     step0: int = 0) -> np.ndarray:
-    """[n_batches, batch_size] with-replacement uniform indices
-    (gpflow-Minibatch semantics), deterministic per (seed, step0)."""
-    lib = load_library()
-    if lib is None:
-        rs = np.random.RandomState(seed + step0)
-        return rs.randint(0, n, (n_batches, batch_size)).astype(np.int64)
-    out = np.empty((n_batches, batch_size), np.int64)
-    lib.dgp_minibatch_stream(n, batch_size, n_batches, seed, step0,
-                             out.ctypes.data_as(_pi))
-    return out
 
 
 def kmeans(X: np.ndarray, k: int, iters: int = 20, seed: int = 0) -> np.ndarray:

@@ -10,9 +10,7 @@
 //                       -> contiguous row-major double matrix. np.loadtxt is
 //                       10-100x slower on `year`-scale (515345 x 90) files.
 //   * dgp_standardize:  train-stats standardization in one fused pass.
-//   * dgp_train_test_split: deterministic Fisher-Yates permutation
 //                       (splitmix64 PRNG keyed by split index).
-//   * dgp_minibatch_stream: with-replacement uniform index batches
 //                       (xoshiro256**), the gpflow-Minibatch semantics, for
 //                       host-driven input pipelines.
 //   * dgp_kmeans:       kmeans++ seeding + Lloyd iterations for inducing-
@@ -171,34 +169,6 @@ void dgp_standardize(double* X, int64_t n, int64_t d, int64_t n_train,
   for (int64_t i = 0; i < n; i++)
     for (int64_t j = 0; j < d; j++)
       X[i * d + j] = (X[i * d + j] - mean[j]) / stddev[j];
-}
-
-// ------------------------------------------------------------ splitting ----
-// Deterministic permutation of [0, n) keyed by `seed` (Fisher-Yates over
-// splitmix64-seeded xoshiro). perm is caller-provided [n].
-void dgp_permutation(int64_t n, uint64_t seed, int64_t* perm) {
-  Xoshiro g;
-  xoshiro_seed(&g, seed);
-  for (int64_t i = 0; i < n; i++) perm[i] = i;
-  for (int64_t i = n - 1; i > 0; i--) {
-    int64_t j = (int64_t)bounded(&g, (uint64_t)(i + 1));
-    int64_t t = perm[i];
-    perm[i] = perm[j];
-    perm[j] = t;
-  }
-}
-
-// ------------------------------------------------------------ minibatch ----
-// Fill `out` [n_batches x batch_size] with uniform WITH-replacement indices
-// into [0, n) — gpflow Minibatch semantics, deterministic per (seed, step0).
-void dgp_minibatch_stream(int64_t n, int64_t batch_size, int64_t n_batches,
-                          uint64_t seed, uint64_t step0, int64_t* out) {
-  for (int64_t b = 0; b < n_batches; b++) {
-    Xoshiro g;
-    xoshiro_seed(&g, seed ^ (0x51ed2701ULL * (step0 + (uint64_t)b + 1)));
-    for (int64_t i = 0; i < batch_size; i++)
-      out[b * batch_size + i] = (int64_t)bounded(&g, (uint64_t)n);
-  }
 }
 
 // --------------------------------------------------------------- kmeans ----

@@ -71,25 +71,6 @@ class TestNumpyParity:
         np.testing.assert_allclose(std, ref_std, rtol=1e-12)
         np.testing.assert_allclose(got, (X - ref_mean) / ref_std, rtol=1e-12)
 
-    def test_permutation_valid_and_deterministic(self):
-        p1 = native_loader.permutation(1000, seed=5)
-        p2 = native_loader.permutation(1000, seed=5)
-        p3 = native_loader.permutation(1000, seed=6)
-        np.testing.assert_array_equal(p1, p2)
-        assert not np.array_equal(p1, p3)
-        np.testing.assert_array_equal(np.sort(p1), np.arange(1000))
-
-    def test_minibatch_stream(self):
-        idx = native_loader.minibatch_stream(500, 64, 10, seed=1)
-        assert idx.shape == (10, 64)
-        assert idx.min() >= 0 and idx.max() < 500
-        # deterministic continuation: step0 offsets reproduce later batches
-        idx2 = native_loader.minibatch_stream(500, 64, 5, seed=1, step0=5)
-        np.testing.assert_array_equal(idx[5:], idx2)
-        # roughly uniform
-        counts = np.bincount(idx.ravel(), minlength=500)
-        assert counts.std() / counts.mean() < 1.2
-
     def test_kmeans_separates_clusters(self):
         rng = np.random.RandomState(4)
         X = np.concatenate([rng.randn(200, 2) * 0.1,
