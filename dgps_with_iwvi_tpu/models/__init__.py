@@ -13,9 +13,11 @@ from .dgp import (
     init_dgp,
     predict_f,
     predict_f_full_cov,
+    predict_f_samples,
     predict_log_density,
     predict_y,
     predict_y_and_log_density,
+    predict_y_samples,
     propagate,
 )
 from .layers import GPLayerConfig, LatentVarMode, LVLayerConfig
@@ -37,8 +39,10 @@ __all__ = [
     "kmeans_centers",
     "predict_f",
     "predict_f_full_cov",
+    "predict_f_samples",
     "predict_log_density",
     "predict_y",
     "predict_y_and_log_density",
+    "predict_y_samples",
     "propagate",
 ]

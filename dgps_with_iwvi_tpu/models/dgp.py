@@ -343,6 +343,41 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
     return jax.vmap(per_sample)(F)  # ([S, N, d_y], [S, d_y, N, N])
 
 
+def predict_f_samples(params, config: DGPConfig, X: jax.Array,
+                      key: jax.Array, num_samples: int | None = None, *,
+                      lv_mode: str = LatentVarMode.PRIOR, ws_given=None):
+    """S actual function draws [S, B, d_y] (gpflow Model.predict_f_samples
+    analog, ref:dgps_with_iwvi usage in the demo figures): one
+    reparameterized sample from each propagated path's final-layer MARGINAL
+    conditional — marginal, not joint, across X, per the doubly-stochastic
+    factorization (SURVEY.md §2.1). Use predict_f_full_cov for coherent
+    joint draws over a small X."""
+    from ..ops.conditionals import safe_sqrt
+
+    kp, ke = jax.random.split(key)
+    fmean, fvar = predict_f(params, config, X, kp, num_samples,
+                            lv_mode=lv_mode, ws_given=ws_given)
+    eps = jax.random.normal(ke, fmean.shape, fmean.dtype)
+    return fmean + safe_sqrt(fvar) * eps
+
+
+def predict_y_samples(params, config: DGPConfig, X: jax.Array,
+                      key: jax.Array, num_samples: int | None = None, *,
+                      lv_mode: str = LatentVarMode.PRIOR, ws_given=None):
+    """S observation draws [S, B, d_y]: function draws pushed through the
+    observation model (gaussian: + N(0, noise_variance); bernoulli/probit:
+    binary draws at the sampled f)."""
+    kf, ky = jax.random.split(key)
+    fs = predict_f_samples(params, config, X, kf, num_samples,
+                           lv_mode=lv_mode, ws_given=ws_given)
+    if config.likelihood == "bernoulli":
+        p = jax.scipy.stats.norm.cdf(fs)
+        return jax.random.bernoulli(ky, p).astype(fs.dtype)
+    s2 = likelihoods.noise_variance(params["likelihood"])
+    eps = jax.random.normal(ky, fs.shape, fs.dtype)
+    return fs + jnp.sqrt(s2) * eps
+
+
 def predict_y(params, config: DGPConfig, X: jax.Array, key: jax.Array,
               num_samples: int | None = None):
     """Mixture predictive moments: mean/var of (1/S) sum_s N(m_s, v_s + s2)."""

@@ -299,6 +299,66 @@ class TestPrediction:
         np.testing.assert_allclose(np.asarray(ld), np.asarray(ld2), rtol=1e-12)
 
 
+class TestPredictSamples:
+    def _cfg(self, likelihood="gaussian"):
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=2, d_y=1),
+                GPLayerConfig(d_in=3, d_out=1, num_inducing=6,
+                              mean_function="zero", final=True),
+            ),
+            num_data=10, num_samples=4, likelihood=likelihood)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        return cfg, params
+
+    def test_f_samples_match_moments(self):
+        """predict_f_samples draws must moment-match predict_f's mixture
+        (gpflow Model.predict_f_samples analog)."""
+        from dgps_with_iwvi_tpu.models import predict_f_samples
+
+        X, _ = _toy_data(7, 2)
+        cfg, params = self._cfg()
+        k = jax.random.PRNGKey(5)
+        S = 4000
+        fs = predict_f_samples(params, cfg, X, k, S)
+        assert fs.shape == (S, 7, 1)
+        fmean, fvar = predict_f(params, cfg, X, k, S)
+        # the draws use the same propagated paths (same key): per-path mean
+        # over draws ~ mixture mean; total variance ~ mean var + var mean
+        mix_mean = np.asarray(jnp.mean(fmean, 0))
+        mix_var = np.asarray(jnp.mean(fvar + jnp.square(fmean), 0)
+                             - jnp.square(jnp.mean(fmean, 0)))
+        np.testing.assert_allclose(np.asarray(fs).mean(0), mix_mean,
+                                   atol=4 * np.sqrt(mix_var.max() / S))
+        np.testing.assert_allclose(np.asarray(fs).var(0), mix_var,
+                                   rtol=0.2, atol=1e-3)
+
+    def test_y_samples_gaussian_adds_noise(self):
+        from dgps_with_iwvi_tpu.models import predict_y_samples
+        from dgps_with_iwvi_tpu.ops.likelihoods import noise_variance
+
+        X, _ = _toy_data(7, 2)
+        cfg, params = self._cfg()
+        k = jax.random.PRNGKey(6)
+        S = 4000
+        ys = predict_y_samples(params, cfg, X, k, S)
+        m, v = predict_y(params, cfg, X, k, S)
+        s2 = float(noise_variance(params["likelihood"]))
+        assert s2 > 0
+        # y-draw variance must include the observation noise
+        np.testing.assert_allclose(np.asarray(ys).var(0), np.asarray(v),
+                                   rtol=0.25, atol=0.05 * s2)
+
+    def test_y_samples_bernoulli_binary(self):
+        from dgps_with_iwvi_tpu.models import predict_y_samples
+
+        X, _ = _toy_data(7, 2)
+        cfg, params = self._cfg(likelihood="bernoulli")
+        ys = np.asarray(predict_y_samples(params, cfg, X,
+                                          jax.random.PRNGKey(7), 64))
+        assert set(np.unique(ys)) <= {0.0, 1.0}
+
+
 class TestFullCovPrediction:
     def test_marginals_match_and_psd(self):
         """predict_f_full_cov: diagonal == predict_f variance (same key),
