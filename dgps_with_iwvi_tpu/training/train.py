@@ -175,6 +175,7 @@ def fit(
     tc: TrainConfig,
     callback=None,
     state: TrainState | None = None,
+    mesh=None,
 ):
     """Convenience driver: jit-compiles the chunk fn and loops to
     tc.iterations. callback(step, mean_loss, state) every chunk.
@@ -182,10 +183,24 @@ def fit(
     Pass a restored ``state`` (e.g. from checkpoint.restore_checkpoint) to
     resume: chunks continue from state.step with the same key schedule, so
     an interrupted run and a resumed one produce identical trajectories.
+
+    mesh: optional ('dp','k') jax.sharding.Mesh — trains with the sharded
+    step (parallel/sharding.py): minibatch rows over 'dp', IW/MC samples
+    over 'k', psum'd gradients over ICI, state replicated. Same semantics,
+    callback cadence, and resume behavior as the single-device path.
     """
-    init_fn, _, chunk_fn, params_fn = make_trainer(config, tc)
-    if state is None:
-        state = init_fn(params)
+    if mesh is not None:
+        from ..parallel import sharding as _sh
+
+        init_fn, _, chunk_fn, params_fn = _sh.make_parallel_trainer(
+            config, tc, mesh)
+        X, Y = _sh.shard_arrays(mesh, X, Y)
+        state = _sh.replicate(mesh, init_fn(params) if state is None
+                              else state)
+    else:
+        init_fn, _, chunk_fn, params_fn = make_trainer(config, tc)
+        if state is None:
+            state = init_fn(params)
     # NOTE: no buffer donation here — donate_argnums on the chunk triggers
     # 'TPU backend error (InvalidArgument)' at runtime on the axon PJRT
     # backend for multi-GP-layer programs (reproduced on GG/kin8nm), and

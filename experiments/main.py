@@ -95,6 +95,14 @@ def parse_args(argv=None):
                    help="non-whitened q(u) parameterization")
     p.add_argument("--q_diag", action="store_true",
                    help="diagonal q(u) covariance (requires --natgrad none)")
+    p.add_argument("--shard", action="store_true",
+                   help="train AND evaluate over all local devices: "
+                        "('dp','k') mesh, minibatch rows sharded over "
+                        "'dp', IW/MC samples over 'k', psum'd gradients "
+                        "(parallel/sharding.py)")
+    p.add_argument("--n_k", type=int, default=1,
+                   help="with --shard: devices along the IW-sample mesh "
+                        "axis (must divide K); the rest go to 'dp'")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=500,
                    help="steps per scan-chunked dispatch (amortizes the "
@@ -184,20 +192,31 @@ def run(args) -> dict:
             state0 = restore_checkpoint(args.ckpt_dir, step, like)["state"]
             last_ckpt[0] = step
             print(f"[resume] restored step {step} from {args.ckpt_dir}")
+    mesh = None
+    if args.shard:
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            from dgps_with_iwvi_tpu.parallel import make_mesh
+
+            mesh = make_mesh(n_dp=n_dev // args.n_k, n_k=args.n_k)
+            print(f"[shard] ('dp','k') mesh {n_dev // args.n_k}x{args.n_k} "
+                  f"over {n_dev} devices")
+        else:
+            print("[shard] single device visible — running unsharded")
     t0 = time.time()
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             trained, state = fit(kt, config, params, X, Y, tc,
-                                 callback=callback, state=state0)
+                                 callback=callback, state=state0, mesh=mesh)
     else:
         trained, state = fit(kt, config, params, X, Y, tc, callback=callback,
-                             state=state0)
+                             state=state0, mesh=mesh)
     train_time = time.time() - t0
 
     metrics = evaluate(
         trained, config, data.X_test, data.Y_test, ke,
         y_std=data.Y_std, num_samples=args.num_predict_samples,
-        likelihood=args.likelihood)
+        likelihood=args.likelihood, mesh=mesh)
     nb = min(args.minibatch_size, X.shape[0])
     final_elbo = float(elbo(trained, config, X[:nb], Y[:nb], ke,
                             data_idx=jnp.arange(nb)))

@@ -154,6 +154,25 @@ class TestHarnessE2E:
         assert np.all(np.isfinite(z["mean"])) and np.all(z["var"] > 0)
         assert res["n"] == z["mean"].shape[0]
 
+    def test_cli_sharded_training(self, tmp_path):
+        """main.py --shard: full CLI run over the 8 virtual devices with a
+        4x2 ('dp','k') mesh — trains sharded, evaluates sharded, writes a
+        finite result row (completes the multi-chip CLI surface)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+
+        db = str(tmp_path / "r.db")
+        row = run(parse_args([
+            "--dataset", "yacht", "--configuration", "LG", "--mode", "IW",
+            "--K", "4", "--M", "8", "--iterations", "100",
+            "--minibatch_size", "64", "--steps_per_call", "50",
+            "--num_predict_samples", "16", "--print_every", "0",
+            "--results_db", db, "--seed", "0",
+            "--shard", "--n_k", "2"]))
+        assert np.isfinite(row["test_loglik"]) and np.isfinite(row["test_rmse"])
+
     def test_serve_sharded_matches_single_device(self, tmp_path):
         """serve.py --shard (rows GSPMD-sharded over the 8 virtual devices)
         must produce IDENTICAL predictions to the single-device path
