@@ -149,8 +149,7 @@ def run(args) -> dict:
     bs = min(args.batch_size, n)
     mesh = None
     if args.shard and len(jax.devices()) > 1:
-        from dgps_with_iwvi_tpu.evaluation.metrics import (
-            replicate_for_eval, shard_eval_batch)
+        from dgps_with_iwvi_tpu.evaluation.metrics import replicate_for_eval
         from dgps_with_iwvi_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_dp=len(jax.devices()), n_k=1)
