@@ -75,11 +75,15 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
     losses = []
     tr, _ = fit(key, cfg, params, X, Y, tc,
                 callback=lambda s, l, _st: losses.append(l))
-    ke = jax.random.PRNGKey(100)
     nb = min(2048, X.shape[0])
-    e = float(elbo(tr, cfg, X[:nb], Y[:nb], ke)) / cfg.num_data
-    m = evaluate(tr, cfg, data.X_test, data.Y_test, ke, y_std=data.Y_std,
-                 num_samples=100)
+    # the bound is an MC estimate for LV/IW models (per-point SE ~1e-3 at
+    # this batch size) — average 8 eval keys so eval noise cannot flip the
+    # gate; trajectory-level noise is handled by the seed-band calibration
+    ej = jax.jit(lambda k: elbo(tr, cfg, X[:nb], Y[:nb], k))
+    e = float(np.mean([float(ej(jax.random.PRNGKey(100 + i)))
+                       for i in range(8)])) / cfg.num_data
+    m = evaluate(tr, cfg, data.X_test, data.Y_test, jax.random.PRNGKey(100),
+                 y_std=data.Y_std, num_samples=100)
     return {"elbo_per_point": e, "test_nll": -m["test_loglik"],
             "test_rmse": m["test_rmse"],
             "finite": bool(np.all(np.isfinite(losses)))}
@@ -113,26 +117,43 @@ def main(argv=None):
         ref = run_setting(*gc, var_precision="highest",
                           solve_precision="highest",
                           iterations=args.iterations)
+        # second reference SEED at the same (highest) setting: two
+        # RNG-different trajectories land at different points of the
+        # optimizer's stationary distribution, so the seed band is the
+        # noise floor any candidate comparison must respect — a candidate
+        # cannot be held to a tighter tolerance than the reference's own
+        # run-to-run variation (measured ~2e-3 rel on LGG-kin8nm)
+        ref2 = run_setting(*gc, var_precision="highest",
+                           solve_precision="highest",
+                           iterations=args.iterations, seed=1)
         cand = run_setting(*gc, var_precision=args.var_precision,
                            solve_precision=args.solve_precision,
                            iterations=args.iterations)
-        d_elbo = abs(cand["elbo_per_point"] - ref["elbo_per_point"]) / \
-            max(abs(ref["elbo_per_point"]), 1e-9)
+        scale = max(abs(ref["elbo_per_point"]), 1e-9)
+        band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
+        band_nll = abs(ref2["test_nll"] - ref["test_nll"])
+        tol_elbo = max(args.rel_tol, 1.5 * band)
+        tol_nll = max(args.nll_tol, 1.5 * band_nll)
+        d_elbo = abs(cand["elbo_per_point"] - ref["elbo_per_point"]) / scale
         d_nll = abs(cand["test_nll"] - ref["test_nll"])
-        ok = (ref["finite"] and cand["finite"]
-              and d_elbo <= args.rel_tol and d_nll <= args.nll_tol)
+        ok = (ref["finite"] and ref2["finite"] and cand["finite"]
+              and d_elbo <= tol_elbo and d_nll <= tol_nll)
         ok_all = ok_all and ok
         rows.append({
             "config": label, "ok": ok,
             "elbo_ref": ref["elbo_per_point"],
+            "elbo_ref_seed1": ref2["elbo_per_point"],
             "elbo_cand": cand["elbo_per_point"], "d_elbo_rel": d_elbo,
+            "seed_band_rel": band, "tol_elbo_rel": tol_elbo,
             "nll_ref": ref["test_nll"], "nll_cand": cand["test_nll"],
-            "d_nll": d_nll, "finite": ref["finite"] and cand["finite"],
+            "d_nll": d_nll, "seed_band_nll": band_nll, "tol_nll": tol_nll,
+            "finite": ref["finite"] and ref2["finite"] and cand["finite"],
             "seconds": time.time() - t0,
         })
         print(f"  {label:24s} {'PASS' if ok else 'FAIL'} "
-              f"dELBO={d_elbo:.2e} dNLL={d_nll:.4f} "
-              f"({rows[-1]['seconds']:.0f}s)", flush=True)
+              f"dELBO={d_elbo:.2e} (band {band:.2e}) dNLL={d_nll:.4f} "
+              f"(band {band_nll:.4f}) ({rows[-1]['seconds']:.0f}s)",
+              flush=True)
 
     verdict = {
         "date": datetime.datetime.now().isoformat(timespec="seconds"),
@@ -153,14 +174,18 @@ def main(argv=None):
                 f"{verdict['date']}, backend={verdict['backend']}, "
                 f"candidate var={args.var_precision} "
                 f"solve={args.solve_precision} vs all-HIGHEST, "
-                f"{args.iterations} steps, tol: ELBO rel {args.rel_tol}, "
-                f"NLL {args.nll_tol} nats.\n\n"
+                f"{args.iterations} steps. Tolerance per config = "
+                f"max(floor, 1.5x the reference's own seed-to-seed band); "
+                f"floors: ELBO rel {args.rel_tol}, NLL {args.nll_tol} "
+                "nats. Bound values are 8-key MC averages.\n\n"
                 "| config | verdict | ELBO/n ref | ELBO/n cand | dELBO rel "
-                "| NLL ref | NLL cand | dNLL |\n|---|---|---|---|---|---|---|---|\n")
+                "| seed band | NLL ref | NLL cand | dNLL |\n"
+                "|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['config']} | {'PASS' if r['ok'] else 'FAIL'} | "
                     f"{r['elbo_ref']:+.4f} | {r['elbo_cand']:+.4f} | "
-                    f"{r['d_elbo_rel']:.2e} | {r['nll_ref']:+.4f} | "
+                    f"{r['d_elbo_rel']:.2e} | {r['seed_band_rel']:.2e} | "
+                    f"{r['nll_ref']:+.4f} | "
                     f"{r['nll_cand']:+.4f} | {r['d_nll']:.4f} |\n")
     print(f"gate: {'PASS' if ok_all else 'FAIL'} -> {args.out}.md")
     return verdict
