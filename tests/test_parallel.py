@@ -284,6 +284,42 @@ class TestShardedParity:
         ref2, l2_ref = cj(state, Xs, Ys, jax.random.PRNGKey(2))
         np.testing.assert_array_equal(np.asarray(l2), np.asarray(l2_ref))
 
+    def test_fit_mesh_resume_matches_uninterrupted(self, tmp_path):
+        """fit(mesh=...) resume: saving mid-run and resuming with
+        fit(state=restored, mesh=mesh) reproduces the uninterrupted
+        sharded trajectory exactly (CLI --shard + --resume path)."""
+        from dgps_with_iwvi_tpu.training import fit
+        from dgps_with_iwvi_tpu.training.checkpoint import (
+            restore_checkpoint, save_checkpoint)
+
+        mesh = make_mesh(4, 2)
+        X, Y = _data(n=128)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=3, d_y=1),
+                GPLayerConfig(d_in=4, d_out=1, num_inducing=6,
+                              mean_function="zero", final=True),
+            ),
+            num_data=128, objective="iw", num_iw_samples=4)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        tc = TrainConfig(lr=1e-2, gamma=0.05, natgrad="final",
+                         minibatch_size=32, iterations=40, steps_per_call=10)
+        # uninterrupted run, checkpointing at step 20
+        ckpt = str(tmp_path / "ck")
+
+        def cb(step, loss, st):
+            if step == 20:
+                save_checkpoint(ckpt, step, st, KEY)
+
+        ref, _ = fit(KEY, cfg, params, X, Y, tc, callback=cb, mesh=mesh)
+
+        init_fn = make_parallel_trainer(cfg, tc, mesh)[0]
+        like = {"state": replicate(mesh, init_fn(params)), "key": KEY}
+        st0 = restore_checkpoint(ckpt, 20, like)["state"]
+        got, _ = fit(KEY, cfg, params, X, Y, tc, state=st0, mesh=mesh)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_sharded_evaluate_matches_single_device(self):
         """evaluate(mesh=...) — rows GSPMD-sharded over all 8 devices,
         params replicated — returns IDENTICAL metrics to the single-device
