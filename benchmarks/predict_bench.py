@@ -44,9 +44,9 @@ def main(S=100, rounds=7):
     def score(xb, yb, k):
         return predict_y_and_log_density(params, config, xb, yb, k, S)
 
-    print(f"| batch | blocking ms/call | points/s blocking | points/s "
-          f"pipelined (8 in flight) |")
-    print("|---|---|---|---|")
+    lines = ["| batch | blocking ms/call | points/s blocking | points/s "
+             "pipelined (8 in flight) |", "|---|---|---|---|"]
+    print(lines[0]); print(lines[1])
     for B in (128, 512, 2048, 8192):
         xb = jnp.tile(X, (max(1, B // N + 1), 1))[:B]
         yb = jnp.tile(Y, (max(1, B // N + 1), 1))[:B]
@@ -71,8 +71,22 @@ def main(S=100, rounds=7):
                     for i in range(depth)]
             jax.block_until_ready(outs[-1][1])
             pts.append(depth * B / (time.perf_counter() - t0))
-        print(f"| {B} | {ms:.2f} | {B / ms * 1e3:,.0f} | "
-              f"{float(np.median(pts)):,.0f} |", flush=True)
+        row = (f"| {B} | {ms:.2f} | {B / ms * 1e3:,.0f} | "
+               f"{float(np.median(pts)):,.0f} |")
+        lines.append(row)
+        print(row, flush=True)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "SERVING.md")
+    with open(out, "w") as f:
+        f.write("# Serving throughput (predict_y_and_log_density scorer)\n\n"
+                "Flagship LGG IWVI model, S=100 mixture predictive, one "
+                "v5e chip through the tunneled PJRT client (the ~30 ms "
+                "per-call round trip is tunnel latency, absent with a "
+                "local client; pipelining keeps 8 calls in flight). "
+                "Multi-chip serving shards rows via serve.py --shard "
+                "(GSPMD; outputs bit-identical to single device).\n\n"
+                + "\n".join(lines) + "\n")
+    print("wrote", out)
 
 
 if __name__ == "__main__":

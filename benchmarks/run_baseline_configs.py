@@ -65,6 +65,11 @@ def main():
             f.write(f"| {r['label']} | {r['test_loglik']:.4f} | "
                     f"{r['test_rmse']:.4f} | {r['steps_per_sec']:.0f} | "
                     f"{r['train_time_s']:.0f} |\n")
+        f.write("\nServing throughput for the flagship model: "
+                "benchmarks/SERVING.md (points/s table, "
+                "benchmarks/predict_bench.py); training-mode throughput: "
+                "bench.py B=8192 row. Multi-chip: serve.py --shard / "
+                "evaluate(mesh=...).\n")
     print(f"\nwrote {out}")
     print(json.dumps([{k: r[k] for k in
                        ('label', 'test_loglik', 'test_rmse', 'steps_per_sec')}
