@@ -51,7 +51,7 @@ def _random_config(rng: random.Random):
     layers.append(GPLayerConfig(
         d_in=width, d_out=d_y, num_inducing=rng.choice([3, 6]),
         final=True, white=white, q_diag=q_diag,
-        mean_function=rng.choice(["skip", "zero"])))
+        mean_function=rng.choice(["skip", "zero", "auto"])))
     likelihood = rng.choice(["gaussian", "gaussian", "bernoulli"])
     cfg = DGPConfig(
         layers=tuple(layers), num_data=n,
