@@ -61,7 +61,10 @@ GATE_CONFIGS = [
 
 
 def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
-                solve_precision, iterations, seed=0):
+                solve_precision, iterations, seed=0, qvar_bf16="auto"):
+    from dgps_with_iwvi_tpu.ops import conditionals as _cond
+
+    _cond.QVAR_BF16_RESIDUAL = qvar_bf16  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
     key = jax.random.PRNGKey(seed)
@@ -102,6 +105,13 @@ def main(argv=None):
                    help="max |ELBO_cand - ELBO_ref| / |ELBO_ref|")
     p.add_argument("--nll_tol", type=float, default=0.005,
                    help="max |NLL_cand - NLL_ref| (nats)")
+    p.add_argument("--qvar_bf16_residual", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="candidate q-variance AD-residual storage "
+                        "(ops/conditionals.QVAR_BF16_RESIDUAL): auto = the "
+                        "shipped policy (bf16 iff M<=256 and f32 compute), "
+                        "on/off force it; the all-HIGHEST reference always "
+                        "runs exact f32 residuals")
     p.add_argument("--quick", action="store_true",
                    help="smoke mode: 500 iterations, loose tolerances")
     p.add_argument("--out", default=os.path.join(
@@ -116,7 +126,7 @@ def main(argv=None):
         t0 = time.time()
         ref = run_setting(*gc, var_precision="highest",
                           solve_precision="highest",
-                          iterations=args.iterations)
+                          iterations=args.iterations, qvar_bf16=False)
         # second reference SEED at the same (highest) setting: two
         # RNG-different trajectories land at different points of the
         # optimizer's stationary distribution, so the seed band is the
@@ -125,10 +135,13 @@ def main(argv=None):
         # run-to-run variation (measured ~2e-3 rel on LGG-kin8nm)
         ref2 = run_setting(*gc, var_precision="highest",
                            solve_precision="highest",
-                           iterations=args.iterations, seed=1)
+                           iterations=args.iterations, seed=1,
+                           qvar_bf16=False)
         cand = run_setting(*gc, var_precision=args.var_precision,
                            solve_precision=args.solve_precision,
-                           iterations=args.iterations)
+                           iterations=args.iterations,
+                           qvar_bf16={"auto": "auto", "on": True,
+                                      "off": False}[args.qvar_bf16_residual])
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -158,7 +171,8 @@ def main(argv=None):
     verdict = {
         "date": datetime.datetime.now().isoformat(timespec="seconds"),
         "candidate": {"var_precision": args.var_precision,
-                      "solve_precision": args.solve_precision},
+                      "solve_precision": args.solve_precision,
+                      "qvar_bf16_residual": args.qvar_bf16_residual},
         "reference": {"var_precision": "highest",
                       "solve_precision": "highest"},
         "iterations": args.iterations,

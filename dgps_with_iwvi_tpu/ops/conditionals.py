@@ -57,8 +57,40 @@ REMAT_QVAR: bool | str = "auto"
 REMAT_QVAR_THRESHOLD_BYTES = 64 * 1024 * 1024
 REMAT_QVAR_MAX_M = 256
 
+# Store the q-variance inner product's AD residual in bfloat16 instead of
+# f32 (halves the dominant HBM traffic of the flagship backward: the
+# [*, D, M, N] LTA/SA tensor is written once forward and read once
+# backward). The squared-sum still accumulates in f32 on the MXU
+# (preferred_element_type), so only the residual VALUES round to bf16 —
+# the same rounding class var_precision='default' already accepts for the
+# dot inputs themselves. Quality-gated: benchmarks/quality_gate.py
+# --qvar_bf16_residual PASSED at 15k steps on all 4 gate configs
+# (benchmarks/QUALITY_GATE_bf16res.md). Measured v5e step times
+# (benchmarks/qvar_bf16_ab.py, vs the prior remat-auto policy):
+#   flagship  M=128 B=512  (42 MB res):  +5.5%   year LGGG K=50: +10%
+#   B=8192    M=128 (671 MB res):        +11%    deep M=512:     -8%
+# bf16-noremat beats REMAT at every M=128 shape (half-traffic store is
+# cheaper than the recompute dot), but LOSES at M=512 where the program
+# is MXU-bound and the casts only add work. "auto" (default) therefore
+# stores bf16 exactly when M <= QVAR_BF16_MAX_M and the compute dtype is
+# float32 (f64 runs — CPU parity validation — stay exact); True/False
+# force it. Read at trace time.
+QVAR_BF16_RESIDUAL: bool | str = "auto"
+QVAR_BF16_MAX_M = 256
 
-def _maybe_remat(fn, residual_bytes: int, m: int):
+
+def _use_bf16_residual(m: int, dtype) -> bool:
+    if QVAR_BF16_RESIDUAL == "auto":
+        return m <= QVAR_BF16_MAX_M and dtype == jnp.float32
+    return bool(QVAR_BF16_RESIDUAL)
+
+
+def _maybe_remat(fn, residual_bytes: int, m: int, dtype):
+    if _use_bf16_residual(m, dtype):
+        # bf16 storage dominates remat at every shape it activates for
+        # (qvar_bf16_ab.py: 170 vs 154 steps/s even at the 671 MB B=8192
+        # shape where remat used to win) — never recompute on top of it.
+        return fn
     if REMAT_QVAR == "auto":
         do = (residual_bytes > REMAT_QVAR_THRESHOLD_BYTES
               and m <= REMAT_QVAR_MAX_M)
@@ -113,10 +145,17 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
 
         def _qvar_cov(A, S):
             SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
+            if _use_bf16_residual(m, A.dtype):
+                SA = SA.astype(jnp.bfloat16)
+                # contraction over M as a dot so the bf16 SA (not an f32
+                # upcast) is the saved residual; f32 MXU accumulation
+                return jnp.einsum(
+                    "...mn,...dmn->...dn", A.astype(jnp.bfloat16), SA,
+                    preferred_element_type=A.dtype)
             return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
 
         res_bytes = q_S.shape[0] * n_cols * m * A.dtype.itemsize
-        fvar_q = _maybe_remat(_qvar_cov, res_bytes, m)(A, q_S)
+        fvar_q = _maybe_remat(_qvar_cov, res_bytes, m, A.dtype)(A, q_S)
         return jnp.swapaxes(fvar_q, -1, -2)
     if q_sqrt.ndim == 2:
         return jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
@@ -126,10 +165,14 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
         # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
         LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
                          precision=vp)
+        if _use_bf16_residual(m, A.dtype):
+            LTA = LTA.astype(jnp.bfloat16)
+            return jnp.einsum("...dmn,...dmn->...dn", LTA, LTA,
+                              preferred_element_type=A.dtype)
         return jnp.sum(jnp.square(LTA), axis=-2)            # [..., D, N]
 
     res_bytes = q_sqrt.shape[0] * n_cols * m * A.dtype.itemsize
-    fvar_q = _maybe_remat(_qvar_root, res_bytes, m)(A, q_sqrt)
+    fvar_q = _maybe_remat(_qvar_root, res_bytes, m, A.dtype)(A, q_sqrt)
     return jnp.swapaxes(fvar_q, -1, -2)
 
 

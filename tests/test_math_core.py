@@ -402,3 +402,82 @@ class TestLikelihood:
         np.testing.assert_allclose(
             got[0], norm.logpdf(y, m, np.sqrt(v + s2)), rtol=1e-9
         )
+
+
+class TestQvarBf16Residual:
+    """QVAR_BF16_RESIDUAL stores the q-variance inner product in bf16.
+
+    The switch only changes the PRECISION of the stored [D, M, N] residual
+    (and the dot inputs feeding the final contraction) — values must agree
+    with the f32/f64 path to bf16 rounding, and gradients must stay finite
+    and close. Gated for trained-quality by benchmarks/quality_gate.py
+    --qvar_bf16_residual; this pins trace-level correctness.
+    """
+
+    def _mats(self, d=3, m=16, n=11):
+        kA, kL = jax.random.split(jax.random.PRNGKey(3))
+        A = jax.random.normal(kA, (m, n), jnp.float32)
+        G = jax.random.normal(kL, (d, m, m), jnp.float32)
+        q_sqrt = jnp.tril(G) + 2.0 * jnp.eye(m, dtype=jnp.float32)
+        q_S = q_sqrt @ jnp.swapaxes(q_sqrt, -1, -2)
+        return A, q_sqrt, q_S
+
+    @pytest.mark.parametrize("family", ["root", "cov"])
+    def test_values_match_f32_path(self, family, monkeypatch):
+        A, q_sqrt, q_S = self._mats()
+        args = (q_sqrt, None) if family == "root" else (None, q_S)
+        monkeypatch.setattr(conditionals, "QVAR_BF16_RESIDUAL", False)
+        ref = conditionals._q_variance(A, *args, jax.lax.Precision.HIGHEST)
+        monkeypatch.setattr(conditionals, "QVAR_BF16_RESIDUAL", True)
+        got = conditionals._q_variance(A, *args, jax.lax.Precision.HIGHEST)
+        assert got.dtype == ref.dtype
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=1e-4)
+
+    def test_auto_policy(self):
+        # auto: on for f32 at small M, off for f64 (exact CPU validation)
+        # and off beyond the measured M crossover (MXU-bound regime)
+        assert conditionals.QVAR_BF16_RESIDUAL == "auto"
+        assert conditionals._use_bf16_residual(128, jnp.dtype(jnp.float32))
+        assert not conditionals._use_bf16_residual(128, jnp.dtype(jnp.float64))
+        assert not conditionals._use_bf16_residual(512, jnp.dtype(jnp.float32))
+
+    @pytest.mark.parametrize("family", ["root", "cov"])
+    def test_gradients_finite_and_close(self, family, monkeypatch):
+        A, q_sqrt, q_S = self._mats()
+
+        def loss(A, q, flag):
+            args = (q, None) if family == "root" else (None, q)
+            with monkeypatch.context() as mp:
+                mp.setattr(conditionals, "QVAR_BF16_RESIDUAL", flag)
+                return jnp.sum(
+                    conditionals._q_variance(A, *args,
+                                             jax.lax.Precision.HIGHEST))
+
+        q = q_sqrt if family == "root" else q_S
+        gA_ref, gq_ref = jax.grad(loss, argnums=(0, 1))(A, q, False)
+        gA, gq = jax.grad(loss, argnums=(0, 1))(A, q, True)
+        for got, ref in ((gA, gA_ref), (gq, gq_ref)):
+            assert bool(jnp.all(jnp.isfinite(got)))
+            # bf16 rounding of the residual: element errors scale with the
+            # gradient's overall magnitude, not each entry's
+            atol = 2e-2 * float(jnp.max(jnp.abs(ref)))
+            np.testing.assert_allclose(got, ref, rtol=5e-2, atol=atol)
+
+    def test_composes_with_remat(self, monkeypatch):
+        A, q_sqrt, _ = self._mats()
+        monkeypatch.setattr(conditionals, "QVAR_BF16_RESIDUAL", False)
+        ref = conditionals._q_variance(A, q_sqrt, None,
+                                       jax.lax.Precision.HIGHEST)
+        monkeypatch.setattr(conditionals, "QVAR_BF16_RESIDUAL", True)
+        monkeypatch.setattr(conditionals, "REMAT_QVAR", True)
+
+        def loss(A, L):
+            return jnp.sum(conditionals._q_variance(
+                A, L, None, jax.lax.Precision.HIGHEST))
+
+        got = conditionals._q_variance(A, q_sqrt, None,
+                                       jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=1e-4)
+        gA, gL = jax.jit(jax.grad(loss, argnums=(0, 1)))(A, q_sqrt)
+        assert bool(jnp.all(jnp.isfinite(gA)))
+        assert bool(jnp.all(jnp.isfinite(gL)))
