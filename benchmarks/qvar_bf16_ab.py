@@ -16,6 +16,12 @@ For each shape, times one jitted 100-step training chunk under:
 
 Prints one line per (shape, variant): ms/step and steps/s.
 Run on the real TPU; first compiles go through the remote-compile cache.
+Run it on an IDLE host: per-call dispatch overhead (~25 ms through the
+tunnel / steps_per_call) is sensitive to host contention, which inflated
+an early run of this sweep at spc=100 (+5.5% flagship) relative to the
+clean spc=500 numbers tabled in docs/PERF.md.
+
+    python benchmarks/qvar_bf16_ab.py [steps_per_call]
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ VARIANTS = {
 
 
 def main():
+    spc = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     for label, conf, K, M, B, D_in, N in SHAPES:
         kx, ky = jax.random.split(jax.random.PRNGKey(0))
         X = jax.random.normal(kx, (N, D_in), jnp.float32)
@@ -61,7 +68,7 @@ def main():
                          num_inducing=M, num_iw_samples=K)
         config, params = build_model(jax.random.PRNGKey(0), args, X, Y)
         tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad="final",
-                         minibatch_size=B, steps_per_call=100)
+                         minibatch_size=B, steps_per_call=spc)
         fs = {}
         for name, (remat, bf16) in VARIANTS.items():
             conditionals.REMAT_QVAR = remat
@@ -78,7 +85,7 @@ def main():
                 t0 = time.perf_counter()
                 s2, l = f(s, X, Y, jax.random.fold_in(ky, r))
                 jax.block_until_ready(l)
-                res[name].append((time.perf_counter() - t0) / 100)
+                res[name].append((time.perf_counter() - t0) / spc)
         for name in fs:
             ms = float(np.median(res[name][1:]) * 1e3)
             print(f"{label:11s} {name:16s}: {ms:.3f} ms/step = "

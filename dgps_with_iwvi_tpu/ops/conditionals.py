@@ -66,9 +66,11 @@ REMAT_QVAR_MAX_M = 256
 # dot inputs themselves. Quality-gated: benchmarks/quality_gate.py
 # --qvar_bf16_residual PASSED at 15k steps on all 4 gate configs
 # (benchmarks/QUALITY_GATE_bf16res.md). Measured v5e step times
-# (benchmarks/qvar_bf16_ab.py, vs the prior remat-auto policy):
-#   flagship  M=128 B=512  (42 MB res):  +5.5%   year LGGG K=50: +10%
-#   B=8192    M=128 (671 MB res):        +11%    deep M=512:     -8%
+# (benchmarks/qvar_bf16_ab.py, spc=500 on an IDLE host, vs the prior
+# remat-auto policy; an earlier spc=100 run under host contention had
+# inflated the flagship gain to +5.5%):
+#   flagship  M=128 B=512  (42 MB res):  +1%     year LGGG K=50: +10.5%
+#   B=8192    M=128 (671 MB res):        +10.7%  deep M=512:     -9%
 # bf16-noremat beats REMAT at every M=128 shape (half-traffic store is
 # cheaper than the recompute dot), but LOSES at M=512 where the program
 # is MXU-bound and the casts only add work. "auto" (default) therefore
