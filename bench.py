@@ -67,6 +67,14 @@ def measure_tpu(chunks: int = 6, steps_per_call: int = 2000,
 
     data = get_regression_data("kin8nm", 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
+    if minibatch > X.shape[0]:
+        # The trainer switches to full-batch when B >= N (train.py), which
+        # would silently shrink the "B=8192" throughput row to N=7372 rows
+        # per step — and a non-power-of-two row count measurably loses to
+        # an aligned one (~19%/row: lane padding of the [D, M, N] dots).
+        # Tile the training set so a true B-row minibatch is drawn.
+        reps = (minibatch + X.shape[0] - 1) // X.shape[0] + 1
+        X, Y = jnp.tile(X, (reps, 1)), jnp.tile(Y, (reps, 1))
     key = jax.random.PRNGKey(0)
     args = BuildArgs(configuration="LGG", mode="IW", num_inducing=128,
                      num_iw_samples=20)
