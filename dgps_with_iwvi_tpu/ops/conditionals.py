@@ -208,14 +208,17 @@ def base_conditional_whitened(
     measured 6e-8 relative ELBO error vs 'highest' at the flagship shape
     while removing ~0.13 ms/step of MXU time (fwd + both transposed dots).
     The gram always stays HIGHEST, and the solve path has its own
-    solve_precision (default HIGHEST — see DGPConfig). One caveat: the exact Kff - sum(A^2) + sum((L^T A)^2)
+    solve_precision (default 'high', quality-gated — see DGPConfig). One
+    caveat: the exact Kff - sum(A^2) + sum((L^T A)^2)
     cancellation at q_sqrt == I (whitened init) is no longer bit-exact, so
     Z/lengthscale grads that are exactly 0 at HIGHEST come out ~1e-3-absolute
     instead; one optimizer step breaks that symmetry anyway.
     """
     # solve-path precision (A and the mean): feeds the Kff - sum(A^2)
-    # cancellation; defaults to HIGHEST (DGPConfig.solve_precision — the
-    # 'high' setting FAILED the convergence quality gate on GG-energy).
+    # cancellation; defaults to 'high' (DGPConfig.solve_precision), which
+    # passes the convergence quality gate once safe_sqrt floors the
+    # cancellation's AD hazard (an earlier FAIL on GG-energy was that
+    # step-1 NaN, not precision).
     sp = _var_prec(solve_precision)
     vp = _var_prec(var_precision)
     # Wide solves (many K*S*B columns against one small well-conditioned

@@ -8,10 +8,23 @@ against autodiff of the reference XLA implementation.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dgps_with_iwvi_tpu.ops import conditionals, kernels, linalg
 
 KEY = jax.random.PRNGKey(3)
+
+
+@pytest.fixture(autouse=True)
+def _f32_residual():
+    """Parity is against the exact-f32 XLA pipeline: the QVAR_BF16_RESIDUAL
+    default (auto -> on at these shapes) rounds the XLA forward through
+    bf16 by ~1e-3 relative, which is a property of that policy (pinned in
+    test_math_core.TestQvarBf16Residual), not of the Pallas kernel."""
+    prev = conditionals.QVAR_BF16_RESIDUAL
+    conditionals.QVAR_BF16_RESIDUAL = False
+    yield
+    conditionals.QVAR_BF16_RESIDUAL = prev
 
 
 def _setup(n=50, m=16, d_in=5, d_out=3, dtype=jnp.float32):
