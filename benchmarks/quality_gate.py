@@ -98,7 +98,7 @@ def main(argv=None):
                    choices=["highest", "high", "default"],
                    help="candidate q-variance matmul precision")
     p.add_argument("--solve_precision", default="high",
-                   choices=["highest", "high"],
+                   choices=["highest", "high", "default"],
                    help="candidate solve-path precision")
     p.add_argument("--iterations", type=int, default=15000)
     p.add_argument("--rel_tol", type=float, default=1e-3,
