@@ -61,10 +61,12 @@ GATE_CONFIGS = [
 
 
 def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
-                solve_precision, iterations, seed=0, qvar_bf16="auto"):
+                solve_precision, iterations, seed=0, qvar_bf16="auto",
+                solve_bwd="same"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
 
-    _cond.QVAR_BF16_RESIDUAL = qvar_bf16  # trace-time module switch
+    _cond.QVAR_BF16_RESIDUAL = qvar_bf16      # trace-time module switches
+    _cond.SOLVE_BWD_PRECISION = solve_bwd
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
     key = jax.random.PRNGKey(seed)
@@ -112,6 +114,11 @@ def main(argv=None):
                         "shipped policy (bf16 iff M<=256 and f32 compute), "
                         "on/off force it; the all-HIGHEST reference always "
                         "runs exact f32 residuals")
+    p.add_argument("--solve_bwd_precision", default="same",
+                   choices=["same", "high", "default"],
+                   help="candidate precision for the solve path's "
+                        "TRANSPOSED dots (conditionals.SOLVE_BWD_PRECISION); "
+                        "the all-HIGHEST reference always runs 'same'")
     p.add_argument("--quick", action="store_true",
                    help="smoke mode: 500 iterations, loose tolerances")
     p.add_argument("--out", default=os.path.join(
@@ -141,7 +148,8 @@ def main(argv=None):
                            solve_precision=args.solve_precision,
                            iterations=args.iterations,
                            qvar_bf16={"auto": "auto", "on": True,
-                                      "off": False}[args.qvar_bf16_residual])
+                                      "off": False}[args.qvar_bf16_residual],
+                           solve_bwd=args.solve_bwd_precision)
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -172,7 +180,8 @@ def main(argv=None):
         "date": datetime.datetime.now().isoformat(timespec="seconds"),
         "candidate": {"var_precision": args.var_precision,
                       "solve_precision": args.solve_precision,
-                      "qvar_bf16_residual": args.qvar_bf16_residual},
+                      "qvar_bf16_residual": args.qvar_bf16_residual,
+                      "solve_bwd_precision": args.solve_bwd_precision},
         "reference": {"var_precision": "highest",
                       "solve_precision": "highest"},
         "iterations": args.iterations,

@@ -24,6 +24,7 @@ broadcast transparently.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -37,6 +38,69 @@ from .linalg import cholesky_with_jitter, solve_triangular, DEFAULT_JITTER
 # wide triangular solve into Linv matmuls. Module-level so benchmarks can
 # A/B it; read at trace time.
 INVERSE_SOLVE = True
+
+# Precision of the TRANSPOSED (backward) dots of the solve-path matmuls
+# (dKuf = Linv^T dA, dLinv = dA Kuf^T, and the mean matmul's cotangents).
+# The PRIMAL solve must run at >= 'high': a 1-pass-bf16 A corrupts the
+# Kff - sum(A^2) cancellation and was rejected decisively by the quality
+# gate (docs/PERF.md). The backward dots never touch that cancellation —
+# they only add ~1e-3 relative rounding to gradients that already carry
+# minibatch + MC noise, so they are a separate, independently-gated knob.
+# "same" (conservative) reuses solve_precision; "default" runs them
+# single-pass bf16. Read at trace time.
+SOLVE_BWD_PRECISION: str = "same"
+
+
+def _solve_bwd_prec(sp):
+    if SOLVE_BWD_PRECISION == "same":
+        return sp
+    return _var_prec(SOLVE_BWD_PRECISION)
+
+
+def _reduce_to_shape(g, shape):
+    """Sum g over broadcasted leading axes so it matches shape."""
+    extra = g.ndim - len(shape)
+    if extra > 0:
+        g = jnp.sum(g, axis=tuple(range(extra)))
+    axes = tuple(i for i, (gs, s) in enumerate(zip(g.shape, shape))
+                 if s == 1 and gs != 1)
+    if axes:
+        g = jnp.sum(g, axis=axes, keepdims=True)
+    return g
+
+
+def matmul_split_precision(x, y, fwd_precision, bwd_precision):
+    """matmul whose transposed (cotangent) dots run at bwd_precision.
+
+    jax's transpose rule reuses the primal dot's precision; this custom_vjp
+    decouples them so the numerically critical forward (e.g. the solve path
+    feeding the Kff - sum(A^2) cancellation) can keep bf16x3 while its
+    gradient dots — 2x the forward FLOPs — run single-pass. Supports the
+    broadcasting jnp.matmul performs over leading batch axes (operands must
+    be >= 2-D; the 1-D vector special cases of jnp.matmul are not).
+    """
+    if fwd_precision == bwd_precision:
+        return jnp.matmul(x, y, precision=fwd_precision)
+    return _matmul_split(x, y, fwd_precision, bwd_precision)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _matmul_split(x, y, fwd_precision, bwd_precision):
+    return jnp.matmul(x, y, precision=fwd_precision)
+
+
+def _matmul_split_fwd(x, y, fwd_precision, bwd_precision):
+    return jnp.matmul(x, y, precision=fwd_precision), (x, y)
+
+
+def _matmul_split_bwd(fwd_precision, bwd_precision, res, g):
+    x, y = res
+    dx = jnp.matmul(g, jnp.swapaxes(y, -1, -2), precision=bwd_precision)
+    dy = jnp.matmul(jnp.swapaxes(x, -1, -2), g, precision=bwd_precision)
+    return (_reduce_to_shape(dx, x.shape), _reduce_to_shape(dy, y.shape))
+
+
+_matmul_split.defvjp(_matmul_split_fwd, _matmul_split_bwd)
 
 # Rematerialize the q-variance quadratic form in the backward pass instead
 # of storing its [*, D, M, N] inner product (S A or q_sqrt^T A) as an AD
@@ -220,6 +284,7 @@ def base_conditional_whitened(
     # cancellation's AD hazard (an earlier FAIL on GG-energy was that
     # step-1 NaN, not precision).
     sp = _var_prec(solve_precision)
+    bp = _solve_bwd_prec(sp)
     vp = _var_prec(var_precision)
     # Wide solves (many K*S*B columns against one small well-conditioned
     # jittered factor): invert Lm once ([M, M] solve) and turn the wide
@@ -230,13 +295,13 @@ def base_conditional_whitened(
         n_cols *= s
     m = Lm.shape[-1]
     if Linv is not None:
-        A = jnp.matmul(Linv, Kuf, precision=sp)            # [..., M, N]
+        A = matmul_split_precision(Linv, Kuf, sp, bp)      # [..., M, N]
     elif INVERSE_SOLVE and Lm.ndim == 2 and n_cols >= 4 * m:
         Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
-        A = jnp.matmul(Linv, Kuf, precision=sp)            # [..., M, N]
+        A = matmul_split_precision(Linv, Kuf, sp, bp)      # [..., M, N]
     else:
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
-    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
+    mean = matmul_split_precision(jnp.swapaxes(A, -1, -2), q_mu, sp, bp)
     # clamp the cancellation to its mathematical domain: Kff - Qff >= 0,
     # but rounding (especially solve_precision < HIGHEST) can push it
     # negative, which would reach the likelihood as a negative variance
@@ -277,7 +342,8 @@ def base_conditional(
     fvar_prior = jnp.maximum(
         Kff_diag - jnp.sum(jnp.square(A1), axis=-2), 0.0)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
-    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
+    mean = matmul_split_precision(jnp.swapaxes(A, -1, -2), q_mu, sp,
+                                  _solve_bwd_prec(sp))
     fvar_q = _q_variance(A, q_sqrt, q_S, vp)               # [..., N, D]
     return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
 

@@ -481,3 +481,79 @@ class TestQvarBf16Residual:
         gA, gL = jax.jit(jax.grad(loss, argnums=(0, 1)))(A, q_sqrt)
         assert bool(jnp.all(jnp.isfinite(gA)))
         assert bool(jnp.all(jnp.isfinite(gL)))
+
+
+class TestMatmulSplitPrecision:
+    """matmul_split_precision: identical primal, identical grads (on CPU,
+    where precision is a no-op, both must be EXACT), correct broadcast
+    reduction in the custom backward, and vmap/jit compatibility."""
+
+    def _check(self, x_shape, y_shape, key=0):
+        kx, ky = jax.random.split(jax.random.PRNGKey(key))
+        x = jax.random.normal(kx, x_shape, jnp.float32)
+        y = jax.random.normal(ky, y_shape, jnp.float32)
+        hp, dp = jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT
+
+        def loss_ref(x, y):
+            return jnp.sum(jnp.sin(jnp.matmul(x, y, precision=hp)))
+
+        def loss_split(x, y):
+            return jnp.sum(jnp.sin(
+                conditionals.matmul_split_precision(x, y, hp, dp)))
+
+        np.testing.assert_allclose(loss_split(x, y), loss_ref(x, y),
+                                   rtol=1e-6)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+        g_split = jax.jit(jax.grad(loss_split, argnums=(0, 1)))(x, y)
+        for a, b in zip(g_split, g_ref):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_plain_2d(self):
+        self._check((7, 5), (5, 4))
+
+    def test_broadcast_left_operand(self):
+        # the solve-path shape: Linv [M, M] against batched Kuf [..., M, N]
+        self._check((6, 6), (3, 2, 6, 9))
+
+    def test_broadcast_right_operand(self):
+        # the mean shape: batched A^T [..., N, M] against q_mu [M, D]
+        self._check((3, 2, 9, 6), (6, 4))
+
+    def test_broadcast_middle_axes(self):
+        self._check((5, 1, 6, 6), (2, 6, 9))
+
+    def test_same_precision_shortcut_is_plain_matmul(self):
+        x = jnp.ones((3, 3))
+        hp = jax.lax.Precision.HIGHEST
+        out = conditionals.matmul_split_precision(x, x, hp, hp)
+        np.testing.assert_allclose(out, jnp.matmul(x, x), rtol=1e-7)
+
+    def test_vmap(self):
+        hp, dp = jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 5, 6), jnp.float32)
+        y = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 3), jnp.float32)
+        f = jax.vmap(lambda a, b:
+                     conditionals.matmul_split_precision(a, b, hp, dp))
+        np.testing.assert_allclose(f(x, y), jnp.matmul(x, y), rtol=1e-5)
+
+    def test_solve_bwd_precision_switch_changes_nothing_on_cpu(self, monkeypatch):
+        """End-to-end: flipping SOLVE_BWD_PRECISION must leave CPU grads
+        exact (precision is a TPU-only concept) — guards the wiring."""
+        from dgps_with_iwvi_tpu.ops import kernels as _k
+
+        X = jax.random.normal(jax.random.PRNGKey(3), (12, 4), jnp.float32)
+        Z = jax.random.normal(jax.random.PRNGKey(4), (6, 4), jnp.float32)
+        params = _k.rbf_params(4)
+        q_mu = jax.random.normal(jax.random.PRNGKey(5), (6, 2), jnp.float32)
+        q_sqrt = jnp.tril(jnp.eye(6) + 0.1)[None] * jnp.ones((2, 1, 1))
+
+        def loss(q_mu):
+            out = conditionals.conditional(X, Z, params, q_mu, q_sqrt)
+            return jnp.sum(out.mean) + jnp.sum(out.var)
+
+        monkeypatch.setattr(conditionals, "SOLVE_BWD_PRECISION", "same")
+        g_same = jax.grad(loss)(q_mu)
+        monkeypatch.setattr(conditionals, "SOLVE_BWD_PRECISION", "default")
+        g_def = jax.grad(loss)(q_mu)
+        np.testing.assert_allclose(g_def, g_same, rtol=1e-6)
