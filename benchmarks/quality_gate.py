@@ -65,8 +65,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_bwd="same"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
 
-    _cond.QVAR_BF16_RESIDUAL = qvar_bf16      # trace-time module switches
-    _cond.SOLVE_BWD_PRECISION = solve_bwd
+    _cond.QVAR_BF16_RESIDUAL = qvar_bf16  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
     key = jax.random.PRNGKey(seed)
@@ -76,7 +75,8 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
     cfg, params = build_model(key, b, X, Y)
     tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad=natgrad,
                      minibatch_size=512, iterations=iterations,
-                     steps_per_call=min(500, iterations))
+                     steps_per_call=min(500, iterations),
+                     solve_bwd_precision=solve_bwd)
     losses = []
     tr, _ = fit(key, cfg, params, X, Y, tc,
                 callback=lambda s, l, _st: losses.append(l))
@@ -114,11 +114,13 @@ def main(argv=None):
                         "shipped policy (bf16 iff M<=256 and f32 compute), "
                         "on/off force it; the all-HIGHEST reference always "
                         "runs exact f32 residuals")
-    p.add_argument("--solve_bwd_precision", default="same",
-                   choices=["same", "high", "default"],
+    p.add_argument("--solve_bwd_precision", default="auto",
+                   choices=["auto", "same", "high", "default"],
                    help="candidate precision for the solve path's "
-                        "TRANSPOSED dots (conditionals.SOLVE_BWD_PRECISION); "
-                        "the all-HIGHEST reference always runs 'same'")
+                        "TRANSPOSED dots (TrainConfig.solve_bwd_precision; "
+                        "'auto' = single-pass bf16 iff natgrad layers "
+                        "exist); the all-HIGHEST reference always runs "
+                        "'same'")
     p.add_argument("--quick", action="store_true",
                    help="smoke mode: 500 iterations, loose tolerances")
     p.add_argument("--out", default=os.path.join(
@@ -196,7 +198,9 @@ def main(argv=None):
         f.write(f"# Quality gate — {'PASS' if ok_all else 'FAIL'}\n\n"
                 f"{verdict['date']}, backend={verdict['backend']}, "
                 f"candidate var={args.var_precision} "
-                f"solve={args.solve_precision} vs all-HIGHEST, "
+                f"solve={args.solve_precision} "
+                f"solve_bwd={args.solve_bwd_precision} "
+                f"qvar_bf16={args.qvar_bf16_residual} vs all-HIGHEST, "
                 f"{args.iterations} steps. Tolerance per config = "
                 f"max(floor, 1.5x the reference's own seed-to-seed band); "
                 f"floors: ELBO rel {args.rel_tol}, NLL {args.nll_tol} "

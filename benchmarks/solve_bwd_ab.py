@@ -1,4 +1,4 @@
-"""A/B ops.conditionals.SOLVE_BWD_PRECISION at the policy shapes.
+"""A/B TrainConfig.solve_bwd_precision at the policy shapes.
 
 The solve-path PRIMAL must stay at 'high' (quality gate rejected
 'default'; docs/PERF.md), but its transposed dots (dKuf = Linv^T dA,
@@ -28,7 +28,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from dgps_with_iwvi_tpu.models import BuildArgs, build_model
-from dgps_with_iwvi_tpu.ops import conditionals
 from dgps_with_iwvi_tpu.training import TrainConfig, make_trainer
 
 SHAPES = [
@@ -50,11 +49,11 @@ def main():
         args = BuildArgs(configuration=conf, mode="IW",
                          num_inducing=M, num_iw_samples=K)
         config, params = build_model(jax.random.PRNGKey(0), args, X, Y)
-        tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad="final",
-                         minibatch_size=B, steps_per_call=spc)
         fs = {}
         for bwd in VARIANTS:
-            conditionals.SOLVE_BWD_PRECISION = bwd
+            tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad="final",
+                             minibatch_size=B, steps_per_call=spc,
+                             solve_bwd_precision=bwd)
             init_fn, _, chunk_fn, _ = make_trainer(config, tc)
             f, s = jax.jit(chunk_fn), init_fn(params)
             for w in range(2):  # compile + discard (first-measurement trap)
@@ -72,7 +71,6 @@ def main():
             ms = float(np.median(res[name][1:]) * 1e3)
             print(f"{label:11s} bwd={name:8s}: {ms:.3f} ms/step = "
                   f"{1e3 / ms:.0f} steps/s", flush=True)
-        conditionals.SOLVE_BWD_PRECISION = "same"
 
 
 if __name__ == "__main__":

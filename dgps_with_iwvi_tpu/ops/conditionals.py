@@ -301,7 +301,10 @@ def base_conditional_whitened(
         A = matmul_split_precision(Linv, Kuf, sp, bp)      # [..., M, N]
     else:
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
-    mean = matmul_split_precision(jnp.swapaxes(A, -1, -2), q_mu, sp, bp)
+    # the mean matmul's cotangent dq_mu = A g feeds the natural-gradient
+    # closed form — the known precision-sensitive consumer (docs/PERF.md
+    # natgrad trap) — and is FLOP-trivial (D columns), so it is NOT relaxed
+    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
     # clamp the cancellation to its mathematical domain: Kff - Qff >= 0,
     # but rounding (especially solve_precision < HIGHEST) can push it
     # negative, which would reach the likelihood as a negative variance
@@ -342,8 +345,7 @@ def base_conditional(
     fvar_prior = jnp.maximum(
         Kff_diag - jnp.sum(jnp.square(A1), axis=-2), 0.0)
     A = solve_triangular(Lm, A1, lower=True, trans=True)   # Kuu^-1 Kuf
-    mean = matmul_split_precision(jnp.swapaxes(A, -1, -2), q_mu, sp,
-                                  _solve_bwd_prec(sp))
+    mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
     fvar_q = _q_variance(A, q_sqrt, q_S, vp)               # [..., N, D]
     return ConditionalOut(mean, fvar_prior[..., None] + fvar_q)
 

@@ -27,7 +27,8 @@ from ..models.layers import LatentVarMode
 from ..ops import likelihoods
 from ..training import natgrad as ng
 from ..training.train import (TrainConfig, TrainState, _merge_params,
-                              _split_params, gamma_schedule)
+                              _split_params, gamma_schedule,
+                              resolve_solve_bwd)
 
 
 def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
@@ -119,10 +120,20 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
         return TrainState(rest, natvars, adam.init(rest),
                           jnp.zeros((), jnp.int32))
 
+    solve_bwd = resolve_solve_bwd(tc, layer_ids)
+
     def loss_fn(natvars, rest, xb, yb, idx, key):
-        params = _merge_params(rest, natvars, layer_ids)
-        return _sharded_objective(params, config, xb, yb, idx, key, n_k,
-                                  P_total)
+        # same trace-time precision scoping as the single-device trainer
+        from ..ops import conditionals as _cond
+
+        prev = _cond.SOLVE_BWD_PRECISION
+        _cond.SOLVE_BWD_PRECISION = solve_bwd
+        try:
+            params = _merge_params(rest, natvars, layer_ids)
+            return _sharded_objective(params, config, xb, yb, idx, key,
+                                      n_k, P_total)
+        finally:
+            _cond.SOLVE_BWD_PRECISION = prev
 
     def local_grads(natvars, rest, Xl, Yl, key):
         """Runs per device inside shard_map; returns psum'd loss + grads."""

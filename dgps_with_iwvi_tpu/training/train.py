@@ -55,6 +55,24 @@ class TrainConfig:
     # while-op self time at the flagship shape) at the cost of a bigger
     # program; steps_per_call should be divisible by it.
     scan_unroll: int = 1
+    # Precision of the solve path's TRANSPOSED dots (dKuf = Linv^T dA,
+    # dLinv = dA Kuf^T — 2x the forward FLOPs, gradients only; the primal
+    # stays at DGPConfig.solve_precision). Quality-gated policy
+    # (benchmarks/QUALITY_GATE_solvebwd.md): 'default' (single-pass bf16,
+    # +3-7% step rate) PASSES every natgrad config but measurably degrades
+    # the all-Adam gate config (converged ELBO -0.88 -> -0.92 on
+    # GG-energy), so 'auto' relaxes exactly when natgrad layers exist and
+    # stays exact for pure-Adam training. 'same'/'high'/'default' force.
+    solve_bwd_precision: str = "auto"
+
+
+def resolve_solve_bwd(tc: "TrainConfig", layer_ids) -> str:
+    """Resolve TrainConfig.solve_bwd_precision: 'auto' -> 'default' iff any
+    natgrad layer exists (the gate-passing case), else 'same'. Shared by
+    the single-device and sharded trainers."""
+    if tc.solve_bwd_precision == "auto":
+        return "default" if layer_ids else "same"
+    return tc.solve_bwd_precision
 
 
 def gamma_schedule(tc: "TrainConfig", step):
@@ -102,10 +120,21 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
     """
     layer_ids = ng.natgrad_layer_ids(config, tc.natgrad)
     adam = optax.adam(tc.lr)
+    solve_bwd = resolve_solve_bwd(tc, layer_ids)
 
     def loss_fn(natvars, rest, xb, yb, idx, key):
-        params = _merge_params(rest, natvars, layer_ids)
-        return -dgp.elbo(params, config, xb, yb, key, data_idx=idx)
+        # trace-time scope: the module switch is read where the solve-path
+        # matmuls trace (ops/conditionals.py), so setting it around the
+        # loss body pins this trainer's policy without leaking globally
+        from ..ops import conditionals as _cond
+
+        prev = _cond.SOLVE_BWD_PRECISION
+        _cond.SOLVE_BWD_PRECISION = solve_bwd
+        try:
+            params = _merge_params(rest, natvars, layer_ids)
+            return -dgp.elbo(params, config, xb, yb, key, data_idx=idx)
+        finally:
+            _cond.SOLVE_BWD_PRECISION = prev
 
     def init_fn(params) -> TrainState:
         natvars, rest = _split_params(params, layer_ids)

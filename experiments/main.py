@@ -83,6 +83,13 @@ def parse_args(argv=None):
                         "matmuls (A = Linv Kuf, mean); 'high' quality-gated "
                         "at full convergence on 4 configs (+14%% steps/s); "
                         "set 'highest' to re-verify on new data families")
+    p.add_argument("--solve_bwd_precision", default="auto",
+                   choices=["auto", "same", "high", "default"],
+                   help="MXU precision for the solve path's TRANSPOSED "
+                        "(gradient) dots; 'auto' = single-pass bf16 when "
+                        "natgrad layers exist (quality-gated, +3-7%% "
+                        "steps/s), exact ('same') for pure-Adam training "
+                        "(see TrainConfig.solve_bwd_precision)")
     p.add_argument("--prior", action="append", default=[],
                    help="hyperparameter prior, repeatable: "
                         "target=kind(a,b) with target in "
@@ -178,7 +185,8 @@ def run(args) -> dict:
         lr=args.lr, gamma=args.gamma, gamma_warmup=args.gamma_warmup,
         natgrad=args.natgrad,
         schedule=args.schedule, minibatch_size=args.minibatch_size,
-        iterations=args.iterations, steps_per_call=args.steps_per_call)
+        iterations=args.iterations, steps_per_call=args.steps_per_call,
+        solve_bwd_precision=args.solve_bwd_precision)
     tc_holder.append(tc)
     state0 = None
     if args.resume and args.ckpt_dir:

@@ -399,3 +399,42 @@ class TestGammaWarmup:
         trained, _ = fit(KEY, cfg, params, X, Y, tc)
         after = float(elbo(trained, cfg, X, Y, KEY))
         assert after > before + 1.0, (before, after)
+
+
+class TestSolveBwdResolution:
+    """TrainConfig.solve_bwd_precision 'auto' policy: relaxed backward dots
+    exactly when natgrad layers exist (the quality-gate-passing case)."""
+
+    def test_auto_resolves_by_natgrad_presence(self):
+        from dgps_with_iwvi_tpu.training.train import (TrainConfig,
+                                                       resolve_solve_bwd)
+
+        assert resolve_solve_bwd(TrainConfig(), [1]) == "default"
+        assert resolve_solve_bwd(TrainConfig(), []) == "same"
+        assert resolve_solve_bwd(
+            TrainConfig(solve_bwd_precision="same"), [1]) == "same"
+        assert resolve_solve_bwd(
+            TrainConfig(solve_bwd_precision="default"), []) == "default"
+
+    def test_trainer_restores_module_switch_after_trace(self):
+        """The trace-time scoping must not leak the policy globally."""
+        import jax
+        import jax.numpy as jnp
+
+        from dgps_with_iwvi_tpu.models import BuildArgs, build_model
+        from dgps_with_iwvi_tpu.ops import conditionals
+        from dgps_with_iwvi_tpu.training import TrainConfig, make_trainer
+
+        X = jax.random.normal(jax.random.PRNGKey(0), (64, 3), jnp.float32)
+        Y = jnp.sin(X[:, :1])
+        cfg, params = build_model(
+            jax.random.PRNGKey(0),
+            BuildArgs(configuration="G", mode="VI", num_inducing=8), X, Y)
+        tc = TrainConfig(natgrad="final", minibatch_size=32,
+                         steps_per_call=2, iterations=2)
+        init_fn, _, chunk_fn, _ = make_trainer(cfg, tc)
+        before = conditionals.SOLVE_BWD_PRECISION
+        s, l = jax.jit(chunk_fn)(init_fn(params), X, Y, jax.random.PRNGKey(1))
+        jax.block_until_ready(l)
+        assert conditionals.SOLVE_BWD_PRECISION == before
+        assert bool(jnp.all(jnp.isfinite(l)))
