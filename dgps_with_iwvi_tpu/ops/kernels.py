@@ -51,20 +51,39 @@ def kernel_lengthscales(params: KernelParams) -> jax.Array:
     return positive(params["raw_lengthscales"])
 
 
+# Opt-in: run the gram dot's TRANSPOSED (gradient) dots single-pass bf16.
+# Worth ~+5% at D~90 (year config), quality-gate-MARGINAL (failed LGG by
+# 0.001 nats), so off by default — see scaled_squared_distance.
+GRAM_BWD_RELAX: bool = False
+
+
 def scaled_squared_distance(X: jax.Array, X2: jax.Array,
                             lengthscales: jax.Array) -> jax.Array:
     """||(x - x')/l||^2 for X:[..., N, D], X2:[..., M, D] -> [..., N, M].
 
     MXU-friendly: one batched matmul for the cross term; clipped at zero.
     """
+    # deferred import: conditionals imports this module at load time, but
+    # the split-precision matmul lives there; resolved at trace time,
+    # after both modules exist
+    from . import conditionals as _cond
+
     Xs = X / lengthscales
     X2s = X2 / lengthscales
     xx = jnp.sum(jnp.square(Xs), axis=-1)  # [..., N]
     yy = jnp.sum(jnp.square(X2s), axis=-1)  # [..., M]
-    # HIGHEST: the expansion cancels catastrophically in bf16 MXU passes
-    cross = jnp.matmul(Xs, jnp.swapaxes(X2s, -1, -2),
-                       preferred_element_type=Xs.dtype,
-                       precision=jax.lax.Precision.HIGHEST)  # [..., N, M]
+    # Forward HIGHEST: the expansion cancels catastrophically in bf16 MXU
+    # passes. The TRANSPOSED dots (dXs = g X2s, dX2s = g^T Xs) have no
+    # cancellation, and relaxing them measures ~+5% on the year config
+    # (D=90 makes the gram dots real work; noise-level at D=8) — but the
+    # 15k-step quality gate FAILED it by a hair on LGG-kin8nm (dNLL 0.0066
+    # vs tol 0.0056 nats; benchmarks/QUALITY_GATE_grambwd.md), so unlike
+    # the solve path's backward it stays EXACT by default. GRAM_BWD_RELAX
+    # (module switch, read at trace time) opts year-scale runs in.
+    hp = jax.lax.Precision.HIGHEST
+    bwd = (jax.lax.Precision.DEFAULT if GRAM_BWD_RELAX else hp)
+    cross = _cond.matmul_split_precision(
+        Xs, jnp.swapaxes(X2s, -1, -2), hp, bwd)  # [..., N, M]
     d2 = xx[..., :, None] - 2.0 * cross + yy[..., None, :]
     return jnp.maximum(d2, 0.0)
 

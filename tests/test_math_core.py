@@ -557,3 +557,21 @@ class TestMatmulSplitPrecision:
         monkeypatch.setattr(conditionals, "SOLVE_BWD_PRECISION", "default")
         g_def = jax.grad(loss)(q_mu)
         np.testing.assert_allclose(g_def, g_same, rtol=1e-6)
+
+    def test_gram_bwd_relax_switch_cpu_exact(self, monkeypatch):
+        """kernels.GRAM_BWD_RELAX flips the gram's backward-dot precision;
+        on CPU (precision no-op) values and grads must be identical."""
+        from dgps_with_iwvi_tpu.ops import kernels as _k
+
+        X = jax.random.normal(jax.random.PRNGKey(7), (9, 5), jnp.float32)
+        Z = jax.random.normal(jax.random.PRNGKey(8), (4, 5), jnp.float32)
+        ls = jnp.ones((5,))
+
+        def loss(X, Z):
+            return jnp.sum(_k.scaled_squared_distance(X, Z, ls))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(X, Z)
+        monkeypatch.setattr(_k, "GRAM_BWD_RELAX", True)
+        g_on = jax.jit(jax.grad(loss, argnums=(0, 1)))(X, Z)
+        for a, b in zip(g_on, g_ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
