@@ -90,6 +90,12 @@ def parse_args(argv=None):
                         "natgrad layers exist (quality-gated, +3-7%% "
                         "steps/s), exact ('same') for pure-Adam training "
                         "(see TrainConfig.solve_bwd_precision)")
+    p.add_argument("--gram_bwd_relax", action="store_true",
+                   help="opt-in: single-pass bf16 for the kernel gram's "
+                        "TRANSPOSED dots (kernels.GRAM_BWD_RELAX). ~+5%% "
+                        "steps/s at D~90 (year scale), noise at small D; "
+                        "quality-gate-MARGINAL (failed LGG by 0.001 nats "
+                        "NLL) so NOT a default — see QUALITY_GATE_grambwd.md")
     p.add_argument("--prior", action="append", default=[],
                    help="hyperparameter prior, repeatable: "
                         "target=kind(a,b) with target in "
@@ -153,6 +159,10 @@ def run(args) -> dict:
         priors=tuple(parse_prior_flag(s) for s in args.prior),
         var_precision=args.var_precision,
         solve_precision=args.solve_precision)
+    if args.gram_bwd_relax:
+        from dgps_with_iwvi_tpu.ops import kernels as _kernels
+
+        _kernels.GRAM_BWD_RELAX = True
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     if args.ckpt_dir:
