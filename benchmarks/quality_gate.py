@@ -62,10 +62,12 @@ GATE_CONFIGS = [
 
 def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
-                solve_bwd="same"):
+                solve_bwd="same", gram_fwd="highest"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
+    from dgps_with_iwvi_tpu.ops import kernels as _kern
 
     _cond.QVAR_BF16_RESIDUAL = qvar_bf16  # trace-time module switch
+    _kern.GRAM_FWD_PRECISION = gram_fwd  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
     key = jax.random.PRNGKey(seed)
@@ -121,6 +123,12 @@ def main(argv=None):
                         "'auto' = single-pass bf16 iff natgrad layers "
                         "exist); the all-HIGHEST reference always runs "
                         "'same'")
+    p.add_argument("--gram_fwd_precision", default="highest",
+                   choices=["highest", "high"],
+                   help="candidate precision for the kernel gram cross-term "
+                        "dot (kernels.GRAM_FWD_PRECISION); 'high' = bf16x3, "
+                        "~1.5e-5 max rel gram error vs 4.8e-7 at 'highest'; "
+                        "the all-HIGHEST reference always runs 'highest'")
     p.add_argument("--quick", action="store_true",
                    help="smoke mode: 500 iterations, loose tolerances")
     p.add_argument("--out", default=os.path.join(
@@ -151,7 +159,8 @@ def main(argv=None):
                            iterations=args.iterations,
                            qvar_bf16={"auto": "auto", "on": True,
                                       "off": False}[args.qvar_bf16_residual],
-                           solve_bwd=args.solve_bwd_precision)
+                           solve_bwd=args.solve_bwd_precision,
+                           gram_fwd=args.gram_fwd_precision)
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -183,7 +192,8 @@ def main(argv=None):
         "candidate": {"var_precision": args.var_precision,
                       "solve_precision": args.solve_precision,
                       "qvar_bf16_residual": args.qvar_bf16_residual,
-                      "solve_bwd_precision": args.solve_bwd_precision},
+                      "solve_bwd_precision": args.solve_bwd_precision,
+                      "gram_fwd_precision": args.gram_fwd_precision},
         "reference": {"var_precision": "highest",
                       "solve_precision": "highest"},
         "iterations": args.iterations,
@@ -200,7 +210,8 @@ def main(argv=None):
                 f"candidate var={args.var_precision} "
                 f"solve={args.solve_precision} "
                 f"solve_bwd={args.solve_bwd_precision} "
-                f"qvar_bf16={args.qvar_bf16_residual} vs all-HIGHEST, "
+                f"qvar_bf16={args.qvar_bf16_residual} "
+                f"gram_fwd={args.gram_fwd_precision} vs all-HIGHEST, "
                 f"{args.iterations} steps. Tolerance per config = "
                 f"max(floor, 1.5x the reference's own seed-to-seed band); "
                 f"floors: ELBO rel {args.rel_tol}, NLL {args.nll_tol} "

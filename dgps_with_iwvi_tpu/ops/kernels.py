@@ -56,6 +56,13 @@ def kernel_lengthscales(params: KernelParams) -> jax.Array:
 # 0.001 nats), so off by default — see scaled_squared_distance.
 GRAM_BWD_RELAX: bool = False
 
+# Forward precision of the gram cross-term dot (trace-time module switch).
+# 'highest' (bf16x6) is the production default. 'high' (bf16x3) measures
+# ~1.5e-5 max relative gram error (vs 4.8e-7 at highest, 2.6e-3 at the
+# catastrophic single-pass default) — A/B with benchmarks/gram_fwd_ab.py
+# and gate with benchmarks/quality_gate.py before changing the default.
+GRAM_FWD_PRECISION: str = "highest"
+
 
 def scaled_squared_distance(X: jax.Array, X2: jax.Array,
                             lengthscales: jax.Array) -> jax.Array:
@@ -80,7 +87,8 @@ def scaled_squared_distance(X: jax.Array, X2: jax.Array,
     # vs tol 0.0056 nats; benchmarks/QUALITY_GATE_grambwd.md), so unlike
     # the solve path's backward it stays EXACT by default. GRAM_BWD_RELAX
     # (module switch, read at trace time) opts year-scale runs in.
-    hp = jax.lax.Precision.HIGHEST
+    hp = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
     bwd = (jax.lax.Precision.DEFAULT if GRAM_BWD_RELAX else hp)
     cross = _cond.matmul_split_precision(
         Xs, jnp.swapaxes(X2s, -1, -2), hp, bwd)  # [..., N, M]

@@ -90,6 +90,14 @@ def parse_args(argv=None):
                         "natgrad layers exist (quality-gated, +3-7%% "
                         "steps/s), exact ('same') for pure-Adam training "
                         "(see TrainConfig.solve_bwd_precision)")
+    p.add_argument("--gram_fwd_precision", default="highest",
+                   choices=["highest", "high"],
+                   help="MXU precision for the kernel gram cross-term dot "
+                        "(kernels.GRAM_FWD_PRECISION). 'high' (bf16x3, "
+                        "~1.5e-5 max rel gram error) — A/B with "
+                        "benchmarks/gram_fwd_ab.py and pass "
+                        "benchmarks/quality_gate.py --gram_fwd_precision "
+                        "high before relying on it")
     p.add_argument("--gram_bwd_relax", action="store_true",
                    help="opt-in: single-pass bf16 for the kernel gram's "
                         "TRANSPOSED dots (kernels.GRAM_BWD_RELAX). ~+5%% "
@@ -159,10 +167,11 @@ def run(args) -> dict:
         priors=tuple(parse_prior_flag(s) for s in args.prior),
         var_precision=args.var_precision,
         solve_precision=args.solve_precision)
-    if args.gram_bwd_relax:
+    if args.gram_bwd_relax or args.gram_fwd_precision != "highest":
         from dgps_with_iwvi_tpu.ops import kernels as _kernels
 
-        _kernels.GRAM_BWD_RELAX = True
+        _kernels.GRAM_BWD_RELAX = args.gram_bwd_relax
+        _kernels.GRAM_FWD_PRECISION = args.gram_fwd_precision
     kb, kt, ke = jax.random.split(key, 3)
     config, params = build_model(kb, build, X, Y)
     if args.ckpt_dir:

@@ -575,3 +575,29 @@ class TestMatmulSplitPrecision:
         g_on = jax.jit(jax.grad(loss, argnums=(0, 1)))(X, Z)
         for a, b in zip(g_on, g_ref):
             np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_gram_fwd_precision_switch_cpu_exact(self, monkeypatch):
+        """kernels.GRAM_FWD_PRECISION drops the gram cross-term dot from
+        bf16x6 to bf16x3; on CPU (precision no-op) values and grads must be
+        identical, and unknown settings must refuse loudly."""
+        from dgps_with_iwvi_tpu.ops import kernels as _k
+
+        X = jax.random.normal(jax.random.PRNGKey(7), (9, 5), jnp.float32)
+        Z = jax.random.normal(jax.random.PRNGKey(8), (4, 5), jnp.float32)
+        ls = jnp.ones((5,))
+
+        def loss(X, Z):
+            return jnp.sum(_k.scaled_squared_distance(X, Z, ls))
+
+        assert _k.GRAM_FWD_PRECISION == "highest"  # production default
+        v_ref = loss(X, Z)
+        g_ref = jax.grad(loss, argnums=(0, 1))(X, Z)
+        monkeypatch.setattr(_k, "GRAM_FWD_PRECISION", "high")
+        v_hi = jax.jit(loss)(X, Z)
+        g_hi = jax.jit(jax.grad(loss, argnums=(0, 1)))(X, Z)
+        np.testing.assert_allclose(v_hi, v_ref, rtol=1e-6)
+        for a, b in zip(g_hi, g_ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+        monkeypatch.setattr(_k, "GRAM_FWD_PRECISION", "bogus")
+        with pytest.raises(KeyError):
+            loss(X, Z)
