@@ -10,4 +10,4 @@ conditional pipelines on the MXU, data-parallel sharding over an ICI mesh.
 
 __version__ = "0.1.0"
 
-from . import data, evaluation, models, ops, parallel, training  # noqa: F401
+from . import data, evaluation, models, ops, parallel, serving, training  # noqa: F401

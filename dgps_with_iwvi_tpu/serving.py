@@ -1,0 +1,197 @@
+"""Self-contained serving artifacts via jax.export (StableHLO).
+
+Freezes a trained DGP scorer — parameters, model structure, the S-sample
+mixture predictive, and (optionally) the train-split normalization
+statistics — into ONE portable StableHLO artifact. The artifact can be
+loaded and executed WITHOUT the model-building code, the checkpoint
+directory, or the flags that produced it: deployment needs only jax and
+this module's thin batching wrapper. Multi-platform lowering
+(``platforms=("tpu", "cpu")``) makes a single artifact executable on both
+the training fleet and CPU fallback hosts.
+
+This is the TPU-native analog of exporting a frozen TF1 inference graph —
+the capability the reference stack gets from TF SavedModel/Saver
+(gpflow:gpflow/training/monitor.py checkpoints + session reuse), redesigned
+around jax.export's StableHLO serialization instead of a session graph.
+
+Artifact layout: a single ``.npz`` holding the serialized StableHLO bytes
+and a JSON meta record (batch size, sample count, dims, units). The scorer
+signature inside the artifact is fixed::
+
+    score(X[B, d_in], Y[B, d_out], seed: int32) -> (mean, var, log_density)
+
+with RAW-unit inputs/outputs when normalization stats were baked in
+(otherwise everything is in the caller's units). Y is only consumed by the
+log-density output; pass zeros when targets are unknown.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+_FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalizationStats:
+    """Train-split standardization statistics (bb conventions: X and Y are
+    standardized by train mean/std; test log-lik reported in original y
+    units by subtracting sum(log y_std) — evaluation/metrics.py:110)."""
+
+    x_mean: np.ndarray  # [1, d_in] (any broadcastable shape)
+    x_std: np.ndarray
+    y_mean: np.ndarray  # [1, d_out]
+    y_std: np.ndarray
+
+    @classmethod
+    def from_dataset(cls, data) -> "NormalizationStats":
+        """From a data.datasets Dataset (X_mean/X_std/Y_mean/Y_std)."""
+        return cls(
+            x_mean=np.asarray(data.X_mean, np.float32).reshape(1, -1),
+            x_std=np.asarray(data.X_std, np.float32).reshape(1, -1),
+            y_mean=np.asarray(data.Y_mean, np.float32).reshape(1, -1),
+            y_std=np.asarray(data.Y_std, np.float32).reshape(1, -1),
+        )
+
+
+def make_scorer_fn(params, config, num_samples: int,
+                   stats: NormalizationStats | None = None):
+    """Close the one-propagate serving pair over (params, config).
+
+    Returns ``score(xb, yb, seed) -> (mean, var, log_density)``. With
+    ``stats``, inputs are RAW units and outputs are mapped back to raw
+    units (mean * y_std + y_mean, var * y_std^2, ld - sum(log y_std)) —
+    the same un-normalization as evaluation/metrics.py.
+
+    The PRNG key derives from the int32 ``seed`` argument inside the traced
+    function (threefry is platform-invariant), so the artifact needs no key
+    plumbing: the caller varies the seed per batch.
+    """
+    from .models import predict_y_and_log_density
+
+    if stats is not None:
+        x_mean = jnp.asarray(stats.x_mean, jnp.float32)
+        x_std = jnp.asarray(stats.x_std, jnp.float32)
+        y_mean = jnp.asarray(stats.y_mean, jnp.float32)
+        y_std = jnp.asarray(stats.y_std, jnp.float32)
+        log_sigma = float(np.sum(np.log(np.asarray(stats.y_std, np.float64))))
+
+    def score(xb, yb, seed):
+        if stats is not None:
+            xb = (xb - x_mean) / x_std
+            yb = (yb - y_mean) / y_std
+        key = jax.random.PRNGKey(seed)
+        (m, v), ld = predict_y_and_log_density(
+            params, config, xb, yb, key, num_samples)
+        if stats is not None:
+            m = m * y_std + y_mean
+            v = v * jnp.square(y_std)
+            ld = ld - log_sigma
+        return m, v, ld
+
+    return score
+
+
+def export_scorer(params, config, *, batch_size: int, d_in: int, d_out: int,
+                  num_samples: int, stats: NormalizationStats | None = None,
+                  platforms: tuple[str, ...] | None = None):
+    """Lower + serialize the scorer. Returns a jax.export.Exported.
+
+    ``platforms=None`` lowers for the current default backend only;
+    pass e.g. ``("tpu", "cpu")`` for a portable artifact (one set of
+    StableHLO per platform in the same blob).
+    """
+    fn = make_scorer_fn(params, config, num_samples, stats)
+    sds = (jax.ShapeDtypeStruct((batch_size, d_in), jnp.float32),
+           jax.ShapeDtypeStruct((batch_size, d_out), jnp.float32),
+           jax.ShapeDtypeStruct((), jnp.int32))
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    return jax_export.export(jax.jit(fn), **kw)(*sds)
+
+
+def save_scorer(path: str, exported, *, num_samples: int,
+                has_stats: bool, extra_meta: dict | None = None) -> dict:
+    """One .npz file: StableHLO bytes + JSON meta. Returns the meta dict."""
+    (x_aval, y_aval, _) = exported.in_avals
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "batch_size": int(x_aval.shape[0]),
+        "d_in": int(x_aval.shape[1]),
+        "d_out": int(y_aval.shape[1]),
+        "num_samples": int(num_samples),
+        "raw_units": bool(has_stats),
+        "platforms": list(exported.platforms),
+        **(extra_meta or {}),
+    }
+    blob = exported.serialize()
+    np.savez(path,
+             stablehlo=np.frombuffer(blob, np.uint8),
+             meta=np.frombuffer(json.dumps(meta).encode("utf-8"), np.uint8))
+    return meta
+
+
+def load_scorer(path: str) -> "ServingArtifact":
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(f"unknown serving-artifact version in {path}: "
+                         f"{meta.get('format_version')}")
+    exported = jax_export.deserialize(bytearray(z["stablehlo"].tobytes()))
+    return ServingArtifact(exported, meta)
+
+
+class ServingArtifact:
+    """A loaded scorer: fixed-batch exported fn + padded pipelined scoring."""
+
+    def __init__(self, exported, meta: dict):
+        self.exported = exported
+        self.meta = meta
+        # jit the call so batches dispatch asynchronously and the loop can
+        # keep --depth calls in flight (same pattern as experiments/serve.py)
+        self._fn = jax.jit(exported.call)
+
+    def score(self, X, Y=None, *, seed: int = 0, depth: int = 8) -> dict:
+        """Score an arbitrary-length table with fixed-size padded batches.
+
+        X: [n, d_in]; Y: [n, d_out] or None (log_density omitted). Units are
+        raw when the artifact was exported with stats, else caller units.
+        """
+        bs = self.meta["batch_size"]
+        d_out = self.meta["d_out"]
+        X = np.asarray(X, np.float32)
+        n = X.shape[0]
+        if X.ndim != 2 or X.shape[1] != self.meta["d_in"]:
+            raise ValueError(f"X must be [n, {self.meta['d_in']}], "
+                             f"got {X.shape}")
+        have_y = Y is not None
+        Ys = (np.asarray(Y, np.float32) if have_y
+              else np.zeros((n, d_out), np.float32))
+        outs = []
+        for i, start in enumerate(range(0, n, bs)):
+            xb, yb = X[start:start + bs], Ys[start:start + bs]
+            pad = bs - xb.shape[0]
+            if pad:
+                xb = np.concatenate([xb, np.zeros((pad, xb.shape[1]),
+                                                  xb.dtype)])
+                yb = np.concatenate([yb, np.zeros((pad, yb.shape[1]),
+                                                  yb.dtype)])
+            outs.append((pad, self._fn(xb, yb, np.int32(seed + i))))
+            if len(outs) >= depth:  # bound in-flight work
+                jax.block_until_ready(outs[-depth][1][0])
+        means, variances, lds = [], [], []
+        for pad, (m, v, ld) in outs:
+            take = bs - pad
+            means.append(np.asarray(m)[:take])
+            variances.append(np.asarray(v)[:take])
+            lds.append(np.asarray(ld)[:take])
+        out = {"mean": np.concatenate(means),
+               "var": np.concatenate(variances)}
+        if have_y:
+            out["log_density"] = np.concatenate(lds)
+        return out

@@ -64,11 +64,25 @@ def parse_args(argv=None):
                    help="TrainState layout of the checkpoint "
                         "(default: from build_args.json, else 'final')")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--ckpt_dir", default=None,
+                   help="checkpoint directory (required unless --from_export)")
     p.add_argument("--input", default=None,
                    help="npz (arrays X[, Y]) or delimited table of raw X "
                         "rows; default = the dataset's test split")
-    p.add_argument("--output", required=True, help="npz output path")
+    p.add_argument("--output", default=None,
+                   help="npz output path (required unless only --export)")
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="write a self-contained StableHLO serving artifact "
+                        "(params + normalization baked in; see "
+                        "dgps_with_iwvi_tpu/serving.py) and, if --output is "
+                        "absent, exit without scoring")
+    p.add_argument("--export_platforms", default=None,
+                   help="comma list, e.g. 'tpu,cpu' for a portable artifact "
+                        "(default: current backend only)")
+    p.add_argument("--from_export", default=None, metavar="PATH",
+                   help="score with a previously exported artifact instead "
+                        "of a checkpoint (no model rebuild; single-device; "
+                        "--ckpt_dir/--shard ignored)")
     p.add_argument("--num_predict_samples", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--depth", type=int, default=8,
@@ -79,6 +93,56 @@ def parse_args(argv=None):
                         "per-point outputs identical to single-device")
     p.add_argument("--data_dir", default=None)
     return p.parse_args(argv)
+
+
+def _load_input_raw(args, data):
+    """-> (X_raw, Y_raw | None) in ORIGINAL units (for raw-unit artifacts).
+
+    The stored test split is train-standardized, so reconstruct raw by
+    inverting the exact standardization (data keeps the train stats)."""
+    if args.input is None:
+        X_raw = np.asarray(data.X_test) * data.X_std + data.X_mean
+        Y_raw = np.asarray(data.Y_test) * data.Y_std + data.Y_mean
+        return X_raw, Y_raw
+    if args.input.endswith(".npz"):
+        z = np.load(args.input)
+        return (np.asarray(z["X"], np.float64),
+                np.asarray(z["Y"], np.float64) if "Y" in z.files else None)
+    from dgps_with_iwvi_tpu.data.native_loader import parse_table
+
+    return parse_table(args.input), None
+
+
+def _run_from_export(args) -> dict:
+    """Score with a frozen StableHLO artifact: no checkpoint, no rebuild."""
+    from dgps_with_iwvi_tpu.serving import load_scorer
+
+    art = load_scorer(args.from_export)
+    if not art.meta.get("raw_units"):
+        raise SystemExit(
+            "artifact was exported without normalization stats (raw_units="
+            "false); score it via dgps_with_iwvi_tpu.serving.ServingArtifact "
+            "in your own units instead")
+    print(f"[serve] loaded artifact {args.from_export}: batch="
+          f"{art.meta['batch_size']} S={art.meta['num_samples']} "
+          f"platforms={art.meta['platforms']}")
+    if args.input is None:
+        data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
+        data = get_regression_data(args.dataset, args.split, **data_kw)
+    else:
+        data = None
+    X_raw, Y_raw = _load_input_raw(args, data)
+    t0 = time.perf_counter()
+    out = art.score(X_raw, Y_raw, seed=args.seed, depth=args.depth)
+    dt = time.perf_counter() - t0
+    n = X_raw.shape[0]
+    np.savez(args.output, num_samples=art.meta["num_samples"], **out)
+    rate = n / dt
+    print(f"[serve] scored {n} points in {dt:.2f}s = {rate:,.0f} points/s "
+          f"(artifact, S={art.meta['num_samples']}, "
+          f"batch={art.meta['batch_size']}, depth={args.depth}) "
+          f"-> {args.output}")
+    return {"n": n, "points_per_sec": rate, "output": args.output}
 
 
 def _load_input(args, data):
@@ -99,6 +163,14 @@ def _load_input(args, data):
 
 
 def run(args) -> dict:
+    if args.output is None and args.export is None:
+        raise SystemExit("need --output (scoring) and/or --export (artifact)")
+    if args.from_export is not None:
+        if args.output is None:
+            raise SystemExit("--from_export needs --output")
+        return _run_from_export(args)
+    if args.ckpt_dir is None:
+        raise SystemExit("need --ckpt_dir (or --from_export)")
     data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
     data = get_regression_data(args.dataset, args.split, **data_kw)
     key = jax.random.PRNGKey(args.seed)
@@ -137,6 +209,29 @@ def run(args) -> dict:
     state = restore_checkpoint(args.ckpt_dir, step, like)["state"]
     params = params_fn(state)
     print(f"[serve] restored step {step} from {args.ckpt_dir}")
+
+    if args.export is not None:
+        from dgps_with_iwvi_tpu.serving import (NormalizationStats,
+                                                export_scorer, save_scorer)
+
+        platforms = (tuple(args.export_platforms.split(","))
+                     if args.export_platforms else None)
+        exp = export_scorer(
+            params, config, batch_size=args.batch_size,
+            d_in=X_tr.shape[1], d_out=Y_tr.shape[1],
+            num_samples=args.num_predict_samples,
+            stats=NormalizationStats.from_dataset(data),
+            platforms=platforms)
+        meta = save_scorer(
+            args.export, exp, num_samples=args.num_predict_samples,
+            has_stats=True,
+            extra_meta={"checkpoint_step": step, "dataset": args.dataset,
+                        "split": args.split})
+        print(f"[serve] exported StableHLO artifact -> {args.export} "
+              f"(batch={meta['batch_size']}, S={meta['num_samples']}, "
+              f"platforms={meta['platforms']}, raw units)")
+        if args.output is None:
+            return {"export": args.export, **meta}
 
     Xn, Yn = _load_input(args, data)
     n = Xn.shape[0]

@@ -154,6 +154,57 @@ class TestHarnessE2E:
         assert np.all(np.isfinite(z["mean"])) and np.all(z["var"] > 0)
         assert res["n"] == z["mean"].shape[0]
 
+    def test_serve_export_and_score_from_artifact(self, tmp_path):
+        """Checkpoint -> StableHLO serving artifact -> scoring WITHOUT the
+        checkpoint: serve.py --export writes a self-contained artifact
+        (params + normalization baked in), --from_export scores the test
+        split from it alone, and the CLI path matches in-process
+        ServingArtifact.score exactly (same program, same seeds)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+        from experiments.serve import parse_args as serve_args, run as serve
+
+        ck = str(tmp_path / "ck")
+        run(parse_args([
+            "--dataset", "yacht", "--configuration", "LG", "--mode", "IW",
+            "--K", "3", "--M", "8", "--iterations", "50",
+            "--minibatch_size", "64", "--steps_per_call", "50",
+            "--num_predict_samples", "10", "--print_every", "0",
+            "--results_db", str(tmp_path / "r.db"), "--seed", "0",
+            "--ckpt_dir", ck, "--ckpt_every", "50"]))
+        art_path = str(tmp_path / "scorer.npz")
+        res = serve(serve_args([
+            "--dataset", "yacht", "--ckpt_dir", ck, "--export", art_path,
+            "--num_predict_samples", "10", "--batch_size", "16"]))
+        assert res["export"] == art_path and res["raw_units"] is True
+        assert res["dataset"] == "yacht"
+        out = str(tmp_path / "pred.npz")
+        res2 = serve(serve_args([
+            "--from_export", art_path, "--dataset", "yacht",
+            "--output", out, "--seed", "3"]))
+        z = np.load(out)
+        from dgps_with_iwvi_tpu.data import get_regression_data
+        from dgps_with_iwvi_tpu.serving import load_scorer
+
+        data = get_regression_data("yacht", 0)
+        n = data.X_test.shape[0]
+        assert res2["n"] == n
+        assert z["mean"].shape == (n, 1) and z["var"].shape == (n, 1)
+        assert np.all(np.isfinite(z["log_density"]))
+        # exact parity with in-process artifact scoring (same seeds)
+        art = load_scorer(art_path)
+        X_raw = np.asarray(data.X_test) * data.X_std + data.X_mean
+        Y_raw = np.asarray(data.Y_test) * data.Y_std + data.Y_mean
+        ref = art.score(X_raw, Y_raw, seed=3)
+        np.testing.assert_array_equal(z["mean"], ref["mean"])
+        np.testing.assert_array_equal(z["log_density"], ref["log_density"])
+        # original-units sanity: predictions near the raw-Y scale
+        y_raw_mean = float(Y_raw.mean())
+        assert abs(float(z["mean"].mean()) - y_raw_mean) < \
+            10 * float(np.asarray(data.Y_std).max())
+
     def test_cli_sharded_training(self, tmp_path):
         """main.py --shard: full CLI run over the 8 virtual devices with a
         4x2 ('dp','k') mesh — trains sharded, evaluates sharded, writes a

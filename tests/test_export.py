@@ -1,0 +1,196 @@
+"""Serving artifacts: jax.export StableHLO round trips.
+
+The artifact must reproduce the live predict path exactly (same backend,
+same seed), survive a save/load file round trip, handle padded tail
+batches, and bake normalization stats so raw-unit scoring matches the
+evaluation path's un-normalization (evaluation/metrics.py conventions).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgps_with_iwvi_tpu.models import (
+    BuildArgs,
+    build_model,
+    predict_y_and_log_density,
+)
+from dgps_with_iwvi_tpu.serving import (
+    NormalizationStats,
+    ServingArtifact,
+    export_scorer,
+    load_scorer,
+    save_scorer,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    key = jax.random.PRNGKey(0)
+    kx, ky, kb = jax.random.split(key, 3)
+    # float32 throughout: the exported scorer's signature is f32 (production
+    # dtype), while conftest enables x64 (which flips jax.random defaults)
+    X = jax.random.normal(kx, (64, 3), jnp.float32)
+    Y = jnp.sin(X.sum(-1, keepdims=True)) + 0.1 * jax.random.normal(
+        ky, (64, 1), jnp.float32)
+    args = BuildArgs(configuration="LG", mode="IW", num_inducing=8,
+                     num_iw_samples=3)
+    config, params = build_model(kb, args, X, Y)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32)
+                          if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                          params)
+    return config, params, np.asarray(X, np.float32), np.asarray(Y, np.float32)
+
+
+class TestExportRoundTrip:
+    def test_exported_scorer_matches_live_predict(self, tiny_model):
+        config, params, X, Y = tiny_model
+        B, S = 16, 5
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S)
+        art = ServingArtifact(
+            exp, {"batch_size": B, "d_in": 3, "d_out": 1, "num_samples": S,
+                  "raw_units": False, "format_version": 1})
+        m1, v1, ld1 = art._fn(X[:B], Y[:B], np.int32(7))
+        key = jax.random.PRNGKey(7)
+        (m2, v2), ld2 = predict_y_and_log_density(
+            params, config, X[:B], Y[:B], key, S)
+        # same math, same threefry stream; the artifact is compiled
+        # separately from the live jit, so only fusion-order rounding
+        # (~1e-7) may differ
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_save_load_file_round_trip(self, tiny_model, tmp_path):
+        config, params, X, Y = tiny_model
+        B, S = 16, 5
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S)
+        path = str(tmp_path / "scorer.npz")
+        meta = save_scorer(path, exp, num_samples=S, has_stats=False,
+                           extra_meta={"checkpoint_step": 123})
+        assert meta["batch_size"] == B and meta["d_out"] == 1
+        art = load_scorer(path)
+        assert art.meta["checkpoint_step"] == 123
+        assert art.meta["num_samples"] == S
+        # serialize -> deserialize must preserve the program EXACTLY:
+        # compare against the pre-serialization Exported, not the live jit
+        m1, v1, ld1 = art._fn(X[:B], Y[:B], np.int32(3))
+        m2, v2, ld2 = jax.jit(exp.call)(X[:B], Y[:B], np.int32(3))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(ld1), np.asarray(ld2))
+
+    def test_version_guard(self, tiny_model, tmp_path):
+        import json
+
+        config, params, X, Y = tiny_model
+        exp = export_scorer(params, config, batch_size=8, d_in=3, d_out=1,
+                            num_samples=2)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, exp, num_samples=2, has_stats=False)
+        z = dict(np.load(path))
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        meta["format_version"] = 999
+        z["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+        np.savez(path, **z)
+        with pytest.raises(ValueError, match="version"):
+            load_scorer(path)
+
+
+class TestPaddedScoring:
+    def test_tail_batch_padding_and_seed_per_batch(self, tiny_model, tmp_path):
+        """n not a multiple of batch_size: per-point outputs equal direct
+        per-batch calls with the per-batch folded seed; no padded rows leak."""
+        config, params, X, Y = tiny_model
+        B, S, n = 16, 4, 40  # 2 full batches + tail of 8
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, exp, num_samples=S, has_stats=False)
+        art = load_scorer(path)
+        Xn, Yn = X[:n], Y[:n]
+        out = art.score(Xn, Yn, seed=11, depth=2)
+        assert out["mean"].shape == (n, 1)
+        assert out["log_density"].shape == (n,)
+        # exact reference = the SAME loaded artifact called by hand (one
+        # compiled program; padding/slicing must not perturb any row)
+        for i, start in enumerate(range(0, n, B)):
+            xb, yb = Xn[start:start + B], Yn[start:start + B]
+            take = xb.shape[0]
+            if take < B:
+                xb = np.concatenate([xb, np.zeros((B - take, 3), np.float32)])
+                yb = np.concatenate([yb, np.zeros((B - take, 1), np.float32)])
+            m, v, ld = art._fn(xb, yb, np.int32(11 + i))
+            np.testing.assert_array_equal(out["mean"][start:start + take],
+                                          np.asarray(m)[:take])
+            np.testing.assert_array_equal(
+                out["log_density"][start:start + take],
+                np.asarray(ld)[:take])
+
+    def test_score_without_targets_omits_log_density(self, tiny_model):
+        config, params, X, Y = tiny_model
+        exp = export_scorer(params, config, batch_size=8, d_in=3, d_out=1,
+                            num_samples=2)
+        art = ServingArtifact(
+            exp, {"batch_size": 8, "d_in": 3, "d_out": 1, "num_samples": 2,
+                  "raw_units": False, "format_version": 1})
+        out = art.score(X[:10])
+        assert set(out) == {"mean", "var"}
+        assert out["mean"].shape == (10, 1)
+
+    def test_input_shape_guard(self, tiny_model):
+        config, params, X, Y = tiny_model
+        exp = export_scorer(params, config, batch_size=8, d_in=3, d_out=1,
+                            num_samples=2)
+        art = ServingArtifact(
+            exp, {"batch_size": 8, "d_in": 3, "d_out": 1, "num_samples": 2,
+                  "raw_units": False, "format_version": 1})
+        with pytest.raises(ValueError, match="must be"):
+            art.score(X[:10, :2])
+
+
+class TestBakedNormalization:
+    def test_raw_unit_scoring_matches_manual_unnormalization(self, tiny_model):
+        """stats baked in: raw X/Y in, original-unit mean/var/log-density
+        out — must equal normalize -> live predict -> un-normalize
+        (the evaluation/metrics.py convention, incl. -sum(log y_std))."""
+        config, params, X, Y = tiny_model
+        B, S = 16, 4
+        rng = np.random.RandomState(0)
+        stats = NormalizationStats(
+            x_mean=rng.randn(1, 3).astype(np.float32),
+            x_std=(0.5 + rng.rand(1, 3)).astype(np.float32),
+            y_mean=np.asarray([[2.5]], np.float32),
+            y_std=np.asarray([[3.0]], np.float32),
+        )
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S, stats=stats)
+        art = ServingArtifact(
+            exp, {"batch_size": B, "d_in": 3, "d_out": 1, "num_samples": S,
+                  "raw_units": True, "format_version": 1})
+        # raw-space inputs whose normalized image is the fixture data
+        X_raw = X[:B] * stats.x_std + stats.x_mean
+        Y_raw = Y[:B] * stats.y_std + stats.y_mean
+        m_raw, v_raw, ld_raw = art._fn(X_raw.astype(np.float32),
+                                       Y_raw.astype(np.float32), np.int32(5))
+        key = jax.random.PRNGKey(5)
+        (m, v), ld = predict_y_and_log_density(
+            params, config,
+            jnp.asarray((X_raw - stats.x_mean) / stats.x_std, jnp.float32),
+            jnp.asarray((Y_raw - stats.y_mean) / stats.y_std, jnp.float32),
+            key, S)
+        log_sigma = float(np.sum(np.log(stats.y_std.astype(np.float64))))
+        np.testing.assert_allclose(np.asarray(m_raw),
+                                   np.asarray(m) * 3.0 + 2.5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(v_raw),
+                                   np.asarray(v) * 9.0, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(ld_raw),
+                                   np.asarray(ld) - log_sigma,
+                                   rtol=1e-5, atol=1e-5)
