@@ -77,7 +77,7 @@ def evaluate(
             params, config, xb, yb, k, num_samples)
         return ld, mean
 
-    lds, err_chunks = [], []
+    outs = []
     for start in range(0, n, bs):
         xb = X_test[start:start + bs]
         yb = Y_test[start:start + bs]
@@ -88,10 +88,17 @@ def evaluate(
         if mesh is not None:
             xb, yb = shard_eval_batch(mesh, xb, yb)
         ld, mean = batch_eval(params, xb, yb, jax.random.fold_in(key, start))
-        take = bs - pad
-        lds.append(np.asarray(ld)[:take])
-        err_chunks.append(np.asarray(mean - yb)[:take])  # normalized units
+        # keep results on device: dispatch stays async (batches pipeline)
+        # and the single device_get below overlaps all the host copies —
+        # a per-batch np.asarray here costs one ~30 ms tunnel round trip
+        # EACH and serializes the whole eval loop
+        outs.append((pad, ld, mean - yb))  # error in normalized units
 
+    fetched = jax.device_get([(ld, err) for _, ld, err in outs])
+    lds, err_chunks = [], []
+    for (pad, _, _), (ld, err) in zip(outs, fetched):
+        lds.append(ld[:bs - pad])
+        err_chunks.append(err[:bs - pad])
     errs = np.concatenate(err_chunks)                   # [n, d_y]
     ld_norm = float(np.concatenate(lds).mean())
     rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))

@@ -87,8 +87,14 @@ def scaled_squared_distance(X: jax.Array, X2: jax.Array,
     # vs tol 0.0056 nats; benchmarks/QUALITY_GATE_grambwd.md), so unlike
     # the solve path's backward it stays EXACT by default. GRAM_BWD_RELAX
     # (module switch, read at trace time) opts year-scale runs in.
-    hp = {"highest": jax.lax.Precision.HIGHEST,
-          "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
+    try:
+        hp = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
+    except KeyError:
+        raise ValueError(
+            f"GRAM_FWD_PRECISION={GRAM_FWD_PRECISION!r}: only 'highest' and "
+            "'high' are allowed — 'default' (single-pass bf16) corrupts the "
+            "sq-dist cancellation (~6% gram error, docs/PERF.md)") from None
     bwd = (jax.lax.Precision.DEFAULT if GRAM_BWD_RELAX else hp)
     cross = _cond.matmul_split_precision(
         Xs, jnp.swapaxes(X2s, -1, -2), hp, bwd)  # [..., N, M]

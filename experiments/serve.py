@@ -168,6 +168,9 @@ def run(args) -> dict:
     if args.from_export is not None:
         if args.output is None:
             raise SystemExit("--from_export needs --output")
+        if args.export is not None:
+            raise SystemExit("--from_export cannot re-export; run a "
+                             "--ckpt_dir --export pass instead")
         return _run_from_export(args)
     if args.ckpt_dir is None:
         raise SystemExit("need --ckpt_dir (or --from_export)")
@@ -287,12 +290,15 @@ def run(args) -> dict:
                      score(params, xb, yb, jax.random.fold_in(ke, start))))
         if len(outs) >= args.depth:  # bound in-flight work
             jax.block_until_ready(outs[-args.depth][1][1])
+    # one device_get for all batches: per-array np.asarray would pay a
+    # sequential host<->device round trip each (~30 ms through the tunnel)
+    fetched = jax.device_get([o for _, o in outs])
     means, variances, lds = [], [], []
-    for (start, pad), ((m, v), ld) in outs:
+    for ((start, pad), _), ((m, v), ld) in zip(outs, fetched):
         take = bs - pad
-        means.append(np.asarray(m)[:take])
-        variances.append(np.asarray(v)[:take])
-        lds.append(np.asarray(ld)[:take])
+        means.append(m[:take])
+        variances.append(v[:take])
+        lds.append(ld[:take])
     dt = time.perf_counter() - t0
     mean = np.concatenate(means)
     var = np.concatenate(variances)

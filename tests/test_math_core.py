@@ -599,5 +599,9 @@ class TestMatmulSplitPrecision:
         for a, b in zip(g_hi, g_ref):
             np.testing.assert_allclose(a, b, rtol=1e-6)
         monkeypatch.setattr(_k, "GRAM_FWD_PRECISION", "bogus")
-        with pytest.raises(KeyError):
+        with pytest.raises(ValueError, match="GRAM_FWD_PRECISION"):
+            loss(X, Z)
+        # 'default' is deliberately NOT accepted for the gram forward
+        monkeypatch.setattr(_k, "GRAM_FWD_PRECISION", "default")
+        with pytest.raises(ValueError, match="corrupts"):
             loss(X, Z)
