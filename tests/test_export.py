@@ -104,6 +104,28 @@ class TestExportRoundTrip:
             load_scorer(path)
 
 
+class TestMultiPlatform:
+    def test_tpu_cpu_artifact_lowered_and_runs_on_cpu(self, tiny_model,
+                                                      tmp_path):
+        """platforms=('tpu','cpu'): one artifact carries lowerings for both
+        backends (lowering is platform-parameterized StableHLO — no TPU
+        needed to produce it) and executes on the CPU backend here; the
+        platform list survives the file round trip."""
+        config, params, X, Y = tiny_model
+        B, S = 8, 2
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S, platforms=("tpu", "cpu"))
+        assert exp.platforms == ("tpu", "cpu")
+        path = str(tmp_path / "portable.npz")
+        save_scorer(path, exp, num_samples=S, has_stats=False)
+        art = load_scorer(path)
+        assert art.meta["platforms"] == ["tpu", "cpu"]
+        m, v, ld = art._fn(X[:B], Y[:B], np.int32(1))
+        assert np.all(np.isfinite(np.asarray(m)))
+        assert np.all(np.asarray(v) > 0)
+        assert np.all(np.isfinite(np.asarray(ld)))
+
+
 class TestPaddedScoring:
     def test_tail_batch_padding_and_seed_per_batch(self, tiny_model, tmp_path):
         """n not a multiple of batch_size: per-point outputs equal direct
