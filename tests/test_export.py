@@ -104,6 +104,47 @@ class TestExportRoundTrip:
             load_scorer(path)
 
 
+class TestExportAcrossFamilies:
+    @pytest.mark.parametrize("kw", [
+        dict(configuration="G", mode="VI"),
+        dict(configuration="GG", mode="VI", q_diag=True),
+        dict(configuration="LG", mode="IW", white=False,
+             kernel_kind="matern52"),
+        dict(configuration="LG", mode="IW", amortized=False),
+        dict(configuration="LGG", mode="IW", d_w=2),
+        dict(configuration="G", mode="VI", likelihood="bernoulli"),
+    ], ids=["G", "GG-qdiag", "LG-nonwhite-matern52", "LG-nonamortized",
+            "LGG-dw2", "G-bernoulli"])
+    def test_every_buildable_family_exports_and_scores(self, kw, tmp_path):
+        """Any model build_model can produce must survive export -> save ->
+        load -> score: the serving artifact is a framework-wide contract,
+        not a flagship-only path."""
+        key = jax.random.PRNGKey(1)
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (32, 3), jnp.float32)
+        if kw.get("likelihood") == "bernoulli":
+            Y = (X.sum(-1, keepdims=True) > 0).astype(jnp.float32)
+        else:
+            Y = jnp.sin(X.sum(-1, keepdims=True))
+        args = BuildArgs(num_inducing=8, num_iw_samples=2, **kw)
+        config, params = build_model(kb, args, X, Y)
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32)
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                              params)
+        B, S = 8, 3
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, exp, num_samples=S, has_stats=False)
+        art = load_scorer(path)
+        out = art.score(np.asarray(X[:20]), np.asarray(Y[:20]), seed=2)
+        assert out["mean"].shape == (20, 1)
+        assert np.all(np.isfinite(out["mean"]))
+        assert np.all(np.isfinite(out["log_density"]))
+        if kw.get("likelihood") != "bernoulli":
+            assert np.all(out["var"] > 0)
+
+
 class TestMultiPlatform:
     def test_tpu_cpu_artifact_lowered_and_runs_on_cpu(self, tiny_model,
                                                       tmp_path):
