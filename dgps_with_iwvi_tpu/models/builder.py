@@ -42,7 +42,8 @@ class BuildArgs:
     likelihood: str = "gaussian"  # gaussian | bernoulli (probit)
     jitter_tries: int = 4
     white: bool = True          # whitened parameterization (reference default)
-    q_diag: bool = False        # diagonal q(u) covariance (Adam-only)
+    q_diag: bool = False        # diagonal q(u) covariance; works with both
+                                # Adam and the elementwise natgrad family
     # hyperparameter priors: tuple of (path_suffix, kind, a, b) specs
     # (see ops/priors.py); () = off, matching the reference defaults
     priors: tuple = ()

@@ -184,6 +184,8 @@ def propagate(
     Y: jax.Array | None = None,
     ws_given: Sequence[jax.Array] | None = None,
     data_idx: jax.Array | None = None,
+    factors: dict | None = None,
+    stop_before_final: bool = False,
 ):
     """Thread samples through the layer stack (SURVEY.md §3.2).
 
@@ -191,6 +193,15 @@ def propagate(
       fmean/fvar: [*lead, B, d_y] final-layer conditional moments
       log_w:      [*lead, B] summed LV importance log-weights
       local_kl:   [B] summed LV analytic local KLs
+
+    factors: precomputed prefactor_gp_layers output to share the batched
+    Kuu factorization with other consumers in the same step (e.g. the
+    non-whitened KL); computed here when None.
+
+    stop_before_final=True: do NOT run the final GP layer — return
+    (F, log_w, local_kl, factors) with F the final layer's INPUT samples,
+    so callers needing a different final-layer computation (the full-cov
+    predictive) reuse this exact stack traversal instead of replaying it.
     """
     B = X.shape[0]
     dtype = X.dtype
@@ -199,7 +210,8 @@ def propagate(
     local_kl = jnp.zeros((B,), dtype)
     final_out = None
     lv_idx = 0
-    factors = prefactor_gp_layers(params, config)
+    if factors is None:
+        factors = prefactor_gp_layers(params, config)
     for i, cfg in enumerate(config.layers):
         lkey = jax.random.fold_in(key, i)
         if isinstance(cfg, LVLayerConfig):
@@ -211,6 +223,8 @@ def propagate(
             local_kl = local_kl + kl_i
             lv_idx += 1
         else:
+            if stop_before_final and cfg.final:
+                return F, log_w, local_kl, factors
             Lm, Linv = factors[i]
             F, moments = gp_layer_propagate(
                 params["layers"][i], cfg, F, lkey, jitter=config.jitter,
@@ -225,14 +239,20 @@ def propagate(
     return fmean, fvar, log_w, local_kl
 
 
-def gp_kls(params, config: DGPConfig) -> jax.Array:
-    """Sum of global whitened KL(q(u) || p(u)) over GP layers."""
+def gp_kls(params, config: DGPConfig, factors: dict | None = None) -> jax.Array:
+    """Sum of global whitened KL(q(u) || p(u)) over GP layers.
+
+    factors: prefactor_gp_layers output — only NON-whitened KLs need
+    chol(Kuu); sharing the step's batched factorization avoids a duplicate
+    gram + Cholesky per non-white layer per step."""
     total = 0.0
     for i, cfg in enumerate(config.layers):
         if isinstance(cfg, GPLayerConfig):
+            Lm = None if factors is None else factors[i][0]
             total = total + gp_layer_kl(params["layers"][i], cfg,
                                         jitter=config.jitter,
-                                        jitter_tries=config.jitter_tries)
+                                        jitter_tries=config.jitter_tries,
+                                        Lm=Lm)
     return total
 
 
@@ -248,45 +268,55 @@ def elbo(params, config: DGPConfig, X: jax.Array, Y: jax.Array,
     # once, like the -KL terms (GPflow Model: objective = likelihood + prior)
     lp = (priors_mod.log_prior(params, config.priors)
           if config.priors else 0.0)
+    # ONE batched Kuu factorization per step, shared by the conditionals
+    # AND the (non-whitened) KLs
+    factors = prefactor_gp_layers(params, config)
     if config.objective == "vi":
         S = config.num_samples
         fmean, fvar, _, local_kl = propagate(
             params, config, X, key, (S,), lv_mode=LatentVarMode.POSTERIOR, Y=Y,
-            data_idx=data_idx)
+            data_idx=data_idx, factors=factors)
         ve = likelihoods.dispatch_variational_expectations(
             params["likelihood"], fmean, fvar, Y,
             kind=config.likelihood)                        # [S, B]
         datafit = jnp.sum(jnp.mean(ve, axis=0) - local_kl)
-        return scale * datafit - gp_kls(params, config) + lp
+        return scale * datafit - gp_kls(params, config, factors) + lp
     # 'iw'
     K = config.num_iw_samples
     fmean, fvar, log_w, _ = propagate(
         params, config, X, key, (K,), lv_mode=LatentVarMode.POSTERIOR, Y=Y,
-        data_idx=data_idx)
+        data_idx=data_idx, factors=factors)
     ve = likelihoods.dispatch_variational_expectations(
         params["likelihood"], fmean, fvar, Y,
         kind=config.likelihood)                            # [K, B]
     iw = jax.nn.logsumexp(ve + log_w, axis=0) - jnp.log(float(K))  # [B]
-    return scale * jnp.sum(iw) - gp_kls(params, config) + lp
+    return scale * jnp.sum(iw) - gp_kls(params, config, factors) + lp
 
 
 def predict_f(params, config: DGPConfig, X: jax.Array, key: jax.Array,
               num_samples: int | None = None, *,
               lv_mode: str = LatentVarMode.PRIOR,
-              ws_given=None):
+              ws_given=None, Y: jax.Array | None = None,
+              data_idx: jax.Array | None = None):
     """S propagated samples of the final-layer moments: [S, B, d_y] x2.
 
-    Prediction draws latents from the PRIOR (SURVEY.md §3.3).
+    Prediction draws latents from the PRIOR (SURVEY.md §3.3). For
+    posterior reconstruction at training points pass
+    lv_mode=LatentVarMode.POSTERIOR together with Y (amortized models)
+    or data_idx (non-amortized).
     """
     S = num_samples or config.num_samples
     fmean, fvar, _, _ = propagate(
-        params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given)
+        params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given,
+        Y=Y, data_idx=data_idx)
     return fmean, fvar
 
 
 def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
                        key: jax.Array, num_samples: int | None = None, *,
-                       lv_mode: str = LatentVarMode.PRIOR, ws_given=None):
+                       lv_mode: str = LatentVarMode.PRIOR, ws_given=None,
+                       Y: jax.Array | None = None,
+                       data_idx: jax.Array | None = None):
     """Full-covariance predictive for the FINAL layer: S samples of
     (mean [N, d_y], cov [d_y, N, N]) given sampled paths through the
     earlier layers (gpflow predict_f(full_cov=True) analog; inter-layer
@@ -295,36 +325,19 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
     from ..ops import conditionals as _cond
     from ..ops import kernels as _kern
     from ..ops import mean_functions as _mf
-    from ..ops.linalg import cholesky_with_jitter as _chol
 
     S = num_samples or config.num_samples
-    # propagate through all but the final layer by running the full stack
-    # and re-extracting the final layer's INPUT: cheapest correct route is
-    # to replay the stack manually.
-    B = X.shape[0]
-    F = jnp.broadcast_to(X, (S,) + X.shape)
-    lv_idx = 0
+    # the exact training-time stack traversal, stopped at the final layer's
+    # input (shares prefactored Kuu, LV modes, and per-layer keying with
+    # propagate — no hand-maintained replica of the layer loop)
+    F, _, _, factors = propagate(
+        params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given,
+        Y=Y, data_idx=data_idx, stop_before_final=True)
     final_i = len(config.layers) - 1
-    for i, cfg in enumerate(config.layers[:-1]):
-        lkey = jax.random.fold_in(key, i)
-        if isinstance(cfg, LVLayerConfig):
-            w_given = None if ws_given is None else ws_given[lv_idx]
-            F, _, _ = lv_layer_propagate(
-                params["layers"][i], cfg, F, lkey, mode=lv_mode, X0=X,
-                w_given=w_given)
-            lv_idx += 1
-        else:
-            F, _ = gp_layer_propagate(
-                params["layers"][i], cfg, F, lkey, jitter=config.jitter,
-                use_pallas=config.use_pallas,
-                jitter_tries=config.jitter_tries,
-                var_precision=config.var_precision,
-                solve_precision=config.solve_precision)
     fcfg = config.layers[final_i]
     fp = params["layers"][final_i]
-    q_sqrt = jnp.tril(fp["q_sqrt"])
-    Kuu = _kern.K(fp["kernel"], fp["Z"], fp["Z"], kind=fcfg.kernel_kind)
-    Lm = _chol(Kuu, config.jitter, max_tries=config.jitter_tries)
+    q_sqrt = fp["q_sqrt"] if fcfg.q_diag else jnp.tril(fp["q_sqrt"])
+    Lm, _ = factors[final_i]
 
     def per_sample(Fs):
         Kuf = _kern.K(fp["kernel"], fp["Z"], Fs, kind=fcfg.kernel_kind)
@@ -345,7 +358,9 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
 
 def predict_f_samples(params, config: DGPConfig, X: jax.Array,
                       key: jax.Array, num_samples: int | None = None, *,
-                      lv_mode: str = LatentVarMode.PRIOR, ws_given=None):
+                      lv_mode: str = LatentVarMode.PRIOR, ws_given=None,
+                      Y: jax.Array | None = None,
+                      data_idx: jax.Array | None = None):
     """S actual function draws [S, B, d_y] (gpflow Model.predict_f_samples
     analog, ref:dgps_with_iwvi usage in the demo figures): one
     reparameterized sample from each propagated path's final-layer MARGINAL
@@ -356,20 +371,24 @@ def predict_f_samples(params, config: DGPConfig, X: jax.Array,
 
     kp, ke = jax.random.split(key)
     fmean, fvar = predict_f(params, config, X, kp, num_samples,
-                            lv_mode=lv_mode, ws_given=ws_given)
+                            lv_mode=lv_mode, ws_given=ws_given, Y=Y,
+                            data_idx=data_idx)
     eps = jax.random.normal(ke, fmean.shape, fmean.dtype)
     return fmean + safe_sqrt(fvar) * eps
 
 
 def predict_y_samples(params, config: DGPConfig, X: jax.Array,
                       key: jax.Array, num_samples: int | None = None, *,
-                      lv_mode: str = LatentVarMode.PRIOR, ws_given=None):
+                      lv_mode: str = LatentVarMode.PRIOR, ws_given=None,
+                      Y: jax.Array | None = None,
+                      data_idx: jax.Array | None = None):
     """S observation draws [S, B, d_y]: function draws pushed through the
     observation model (gaussian: + N(0, noise_variance); bernoulli/probit:
     binary draws at the sampled f)."""
     kf, ky = jax.random.split(key)
     fs = predict_f_samples(params, config, X, kf, num_samples,
-                           lv_mode=lv_mode, ws_given=ws_given)
+                           lv_mode=lv_mode, ws_given=ws_given, Y=Y,
+                           data_idx=data_idx)
     if config.likelihood == "bernoulli":
         p = jax.scipy.stats.norm.cdf(fs)
         return jax.random.bernoulli(ky, p).astype(fs.dtype)

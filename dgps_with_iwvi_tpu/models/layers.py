@@ -54,7 +54,9 @@ class GPLayerConfig:
     final: bool = False  # final layers return (mean, var) instead of samples
     white: bool = True   # whitened q(v), u = Lm v (reference default)
     q_diag: bool = False  # diagonal q covariance (gpflow SVGP q_diag=True);
-                          # cheaper family, incompatible with natgrad layers
+                          # cheaper family; natgrad supported via the
+                          # elementwise variance-form family
+                          # (training/natgrad.py, tests/test_qdiag.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,7 +220,13 @@ def gp_layer_propagate(
 
 def gp_layer_kl(params, cfg: GPLayerConfig,
                 jitter: float = linalg.DEFAULT_JITTER,
-                jitter_tries: int = 4) -> jax.Array:
+                jitter_tries: int = 4,
+                Lm: jax.Array | None = None) -> jax.Array:
+    """Global KL(q(u) || p(u)) for one GP layer.
+
+    Pass the prefactored Lm (dgp.prefactor_gp_layers) for non-whitened
+    layers so the step's single batched Kuu factorization is shared with
+    the conditional; whitened KLs never need Kuu."""
     if cfg.q_diag:
         assert cfg.white, "q_diag layers are whitened-only"
         if "q_cov_diag" in params:  # diagonal natgrad variance form
@@ -232,9 +240,10 @@ def gp_layer_kl(params, cfg: GPLayerConfig,
                 params["q_mu"], q_cov, params["q_cov_logdet"],
                 params["q_cov_Sinv"])
         return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
-    Kuu = kernels.K(params["kernel"], params["Z"], params["Z"],
-                    kind=cfg.kernel_kind)
-    Lm = linalg.cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
+    if Lm is None:
+        Kuu = kernels.K(params["kernel"], params["Z"], params["Z"],
+                        kind=cfg.kernel_kind)
+        Lm = linalg.cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
     if q_cov is not None:
         return kl.gauss_kl_cov(params["q_mu"], q_cov,
                                params["q_cov_logdet"],

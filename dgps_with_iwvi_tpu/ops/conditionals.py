@@ -355,7 +355,7 @@ def base_conditional_whitened_fullcov(
     Lm: jax.Array,       # [M, M]
     Kff: jax.Array,      # [N, N]
     q_mu: jax.Array,     # [M, D]
-    q_sqrt: jax.Array,   # [D, M, M]
+    q_sqrt: jax.Array,   # [D, M, M] lower-triangular, or [M, D] q_diag scales
     *,
     white: bool = True,
 ) -> ConditionalOut:
@@ -364,12 +364,21 @@ def base_conditional_whitened_fullcov(
     white=True: A = Lm^-1 Kuf (q over whitened v, u = Lm v).
     white=False: A = Kuu^-1 Kuf (q directly over u; second solve against
     Lm^T), matching gpflow base_conditional(full_cov=True, white=False).
-    The prior term Kff - Kuf^T Kuu^-1 Kuf is identical in both."""
+    The prior term Kff - Kuf^T Kuu^-1 Kuf is identical in both.
+
+    A 2-D q_sqrt is the q_diag family's per-dim scale matrix s [M, D]
+    (S_d = diag(s[:, d]^2)): the quadratic term is A^T S_d A per output dim.
+    """
     hp = jax.lax.Precision.HIGHEST
     A1 = solve_triangular(Lm, Kuf, lower=True)             # [M, N]
     prior_cov = Kff - jnp.matmul(A1.T, A1, precision=hp)   # [N, N]
     A = A1 if white else solve_triangular(Lm, A1, lower=True, trans=True)
     mean = jnp.matmul(A.T, q_mu, precision=hp)             # [N, D]
+    if q_sqrt.ndim == 2:  # q_diag scales [M, D] -> per-dim diag covariance
+        B = q_sqrt.T[:, :, None] * A[None]                 # [D, M, N]
+        cov = prior_cov[None] \
+            + jnp.matmul(jnp.swapaxes(B, -1, -2), B, precision=hp)
+        return ConditionalOut(mean, cov)
     LTA = jnp.matmul(jnp.swapaxes(q_sqrt, -1, -2), A, precision=hp)
     cov = prior_cov[None] \
         + jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA, precision=hp)

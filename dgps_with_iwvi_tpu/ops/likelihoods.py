@@ -94,11 +94,18 @@ def gauss_hermite_expectation(log_fn, mean: jax.Array, var: jax.Array,
     """
     import numpy as _np
 
+    from .conditionals import safe_sqrt
+
     xs, ws = _np.polynomial.hermite_e.hermegauss(n_points)
     ws = ws / _np.sqrt(2.0 * _np.pi)
     xs = jnp.asarray(xs, mean.dtype)
     ws = jnp.asarray(ws, mean.dtype)
-    f = mean[..., None] + jnp.sqrt(jnp.maximum(var, 0.0))[..., None] * xs
+    # safe_sqrt, NOT sqrt(max(var, 0)): a final-layer variance can hit
+    # exactly 0 (clamped fvar_prior + underflowed fvar_q) and sqrt's
+    # infinite derivative there makes the whole Bernoulli ELBO gradient
+    # NaN — the identical inf*0 AD hazard fixed on the Gaussian sampling
+    # path (ops/conditionals.py safe_sqrt docstring).
+    f = mean[..., None] + safe_sqrt(var)[..., None] * xs
     return jnp.sum(log_fn(f) * ws, axis=-1)
 
 

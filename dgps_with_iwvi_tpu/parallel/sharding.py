@@ -44,11 +44,15 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
     B_global = B_local * n_dp
     scale = config.num_data / B_global
 
+    # ONE batched Kuu factorization shared by the conditionals and the
+    # (non-whitened) KLs, mirroring dgp.elbo
+    factors = dgp.prefactor_gp_layers(params, config)
     if config.objective == "iw":
         K_local = config.num_iw_samples // n_k
         fmean, fvar, log_w, _ = dgp.propagate(
             params, config, xb, key, (K_local,),
-            lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx)
+            lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx,
+            factors=factors)
         ve = likelihoods.dispatch_variational_expectations(
             params["likelihood"], fmean, fvar, yb,
             kind=config.likelihood)                       # [K_local, B]
@@ -66,7 +70,8 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
         S_global = S_local * n_k
         fmean, fvar, _, local_kl = dgp.propagate(
             params, config, xb, key, (S_local,),
-            lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx)
+            lv_mode=LatentVarMode.POSTERIOR, Y=yb, data_idx=idx,
+            factors=factors)
         ve = likelihoods.dispatch_variational_expectations(
             params["likelihood"], fmean, fvar, yb,
             kind=config.likelihood)                       # [S_local, B]
@@ -74,7 +79,7 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
         datafit = jnp.sum(ve_mean)
         local_kl_term = jnp.sum(local_kl)
 
-    kl = dgp.gp_kls(params, config)
+    kl = dgp.gp_kls(params, config, factors)
     # hyperparameter log-prior: global term, counted once per device -> /P
     # (same bookkeeping as the KL so psum reproduces the single-device loss)
     if config.priors:

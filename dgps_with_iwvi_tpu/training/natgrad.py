@@ -25,8 +25,14 @@ For a conjugate (Gaussian-likelihood, full-batch, collapsed) block and
 gamma = 1 this lands exactly on the optimal posterior — tested.
 
 Known pitfall reproduced from the reference: too-large gamma can make
-S^-1 + 2 gamma H lose positive-definiteness; the Cholesky here goes through
-cholesky_with_jitter escalation and the caller can lower gamma.
+S^-1 + 2 gamma H lose positive-definiteness. A tiny jitter ladder absorbs
+f32 roundoff-level indefiniteness; a GENUINELY indefinite precision (its
+negative eigenvalue is of order gamma*|H| — no jitter worth adding fixes
+that) is detected per output-dim block and that block SKIPS the update,
+keeping its previous (m, S) — the full-covariance analog of the q_diag
+family's vinv_new > 0 guard. Training then continues finite (where the
+reference raises/NaNs and the caller must lower gamma); persistent skips
+still mean gamma is too large.
 """
 
 from __future__ import annotations
@@ -191,9 +197,25 @@ def natgrad_update(natvars, nat_grads, gamma) -> list:
         P_eff = _mm(Lp, jnp.swapaxes(Lp, -1, -2))
         # log det S_new = -log det P_eff, free from Lp's diagonal
         logdet_new = -log_det_from_chol(Lp)
-        new.append({"q_mu": m_new, "q_S": S_new,
-                    "q_Sinv": 0.5 * (P_eff + jnp.swapaxes(P_eff, -1, -2)),
-                    "q_logdet": logdet_new})
+        # Too-large-gamma guard: if P lost positive-definiteness by MORE
+        # than the tiny roundoff ladder above can absorb (a genuinely
+        # indefinite P has a negative eigenvalue of order gamma*|H| — far
+        # beyond any jitter worth adding), the factor comes back non-finite.
+        # Keep the OLD (m, S, Sinv, logdet) for that output-dim block — the
+        # full-family analog of the q_diag branch's vinv_new > 0 guard.
+        # Without this, one bad step turns the carried state NaN PERMANENTLY
+        # (the update never re-derives Sinv/logdet from scratch).
+        diag_p = jnp.diagonal(Lp, axis1=-2, axis2=-1)
+        ok = jnp.all(jnp.isfinite(diag_p) & (diag_p > 0),
+                     axis=-1)                              # [D]
+        okb = ok[:, None, None]
+        new.append({
+            "q_mu": jnp.where(ok[None, :], m_new, m),
+            "q_S": jnp.where(okb, S_new, S),
+            "q_Sinv": jnp.where(
+                okb, 0.5 * (P_eff + jnp.swapaxes(P_eff, -1, -2)), Sinv),
+            "q_logdet": jnp.where(ok, logdet_new, nv["q_logdet"]),
+        })
     return new
 
 

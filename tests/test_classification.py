@@ -31,6 +31,27 @@ class TestQuadrature:
         np.testing.assert_allclose(np.asarray(quad), np.asarray(analytic),
                                    rtol=1e-9)
 
+    def test_quadrature_gradient_finite_at_zero_variance(self):
+        """d/dvar of the Gauss-Hermite expectation at var == 0 must be
+        finite: a clamped final-layer variance can hit exactly 0 and
+        sqrt(max(v,0)) has an inf*0=NaN backward there — the identical AD
+        hazard fixed on the Gaussian sampling path (safe_sqrt). Regression
+        for the Bernoulli training path."""
+        bp = likelihoods.bernoulli_params(jnp.float64)
+        y = jnp.ones((3, 1), jnp.float64)
+
+        def ve_sum(v):
+            m = jnp.full((3, 1), 0.3, jnp.float64)
+            return jnp.sum(likelihoods.bernoulli_variational_expectations(
+                bp, m, v, y))
+
+        g = jax.grad(ve_sum)(jnp.zeros((3, 1), jnp.float64))
+        assert np.all(np.isfinite(np.asarray(g)))
+        # and the value itself is the deterministic-f limit
+        val = ve_sum(jnp.zeros((3, 1), jnp.float64))
+        exact = 3 * float(jax.scipy.stats.norm.logcdf(0.3))
+        np.testing.assert_allclose(float(val), exact, rtol=1e-6)
+
     def test_bernoulli_ve_vs_bruteforce_mc(self):
         bp = likelihoods.bernoulli_params(jnp.float64)
         m = jnp.array([[0.5], [-0.3]], jnp.float64)

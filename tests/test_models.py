@@ -386,6 +386,79 @@ class TestFullCovPrediction:
             eig = np.linalg.eigvalsh(np.asarray(cov_f)[s, 0])
             assert eig.min() > -1e-8
 
+    def test_qdiag_fullcov_marginals_match(self):
+        """predict_f_full_cov with q_diag layers and d_y=2: per-dim
+        covariance blocks (no cross-output mixing), diagonal == marginal
+        variance. Regression: the [M, D] q_diag scales used to be fed
+        through jnp.tril and the 3-D root contraction, silently collapsing
+        the output-dim axis into one wrong [N, N] block."""
+        X, Y = _toy_data(10, 2)
+        cfg = DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=2, d_out=2, num_inducing=6, q_diag=True),
+                GPLayerConfig(d_in=2, d_out=2, num_inducing=6, final=True,
+                              q_diag=True),
+            ),
+            num_data=10, num_samples=3)
+        params = init_dgp(KEY, cfg, inner_q_sqrt_scale=0.3, dtype=jnp.float64)
+        # non-trivial diagonal scales (init is constant 1.0 on the final)
+        kq = jax.random.PRNGKey(11)
+        params["layers"][1]["q_sqrt"] = 0.5 + jax.random.uniform(
+            kq, params["layers"][1]["q_sqrt"].shape, jnp.float64)
+        from dgps_with_iwvi_tpu.models import predict_f_full_cov
+
+        k = jax.random.PRNGKey(9)
+        mean_m, var_m = predict_f(params, cfg, X, k, 3)
+        mean_f, cov_f = predict_f_full_cov(params, cfg, X, k, 3)
+        assert cov_f.shape == (3, 2, 10, 10)
+        np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_m),
+                                   rtol=1e-9)
+        diag = np.diagonal(np.asarray(cov_f), axis1=-2, axis2=-1)  # [3,2,10]
+        np.testing.assert_allclose(np.moveaxis(diag, 1, -1),
+                                   np.asarray(var_m), rtol=1e-7, atol=1e-10)
+        for s in range(3):
+            for d in range(2):
+                eig = np.linalg.eigvalsh(np.asarray(cov_f)[s, d])
+                assert eig.min() > -1e-8
+
+    def test_posterior_mode_prediction_with_targets(self):
+        """lv_mode=POSTERIOR is usable from the predict API when Y (or
+        data_idx for non-amortized models) is passed — posterior
+        reconstruction at training points. Regression: the predict entry
+        points never forwarded Y/data_idx, so POSTERIOR always hit the
+        layer-level assertion."""
+        from dgps_with_iwvi_tpu.models import (LatentVarMode, LVLayerConfig,
+                                               predict_f_full_cov,
+                                               predict_f_samples)
+
+        X, Y = _toy_data(8, 2)
+        cfg = DGPConfig(
+            layers=(
+                LVLayerConfig(d_w=1, d_in=2, d_y=1),
+                GPLayerConfig(d_in=3, d_out=1, num_inducing=5, final=True),
+            ),
+            num_data=8, num_samples=3)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        # non-zero q_mu so the predictive mean actually depends on the
+        # latent w (at init q_mu = 0 makes every mean exactly 0)
+        params["layers"][1]["q_mu"] = jax.random.normal(
+            jax.random.PRNGKey(13), params["layers"][1]["q_mu"].shape,
+            jnp.float64)
+        k = jax.random.PRNGKey(2)
+        m, v = predict_f(params, cfg, X, k, 3,
+                         lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+        assert np.all(np.isfinite(np.asarray(m)))
+        assert np.all(np.asarray(v) > 0)
+        fs = predict_f_samples(params, cfg, X, k, 3,
+                               lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+        assert np.all(np.isfinite(np.asarray(fs)))
+        mf, cf = predict_f_full_cov(params, cfg, X, k, 3,
+                                    lv_mode=LatentVarMode.POSTERIOR, Y=Y)
+        np.testing.assert_allclose(np.asarray(mf), np.asarray(m), rtol=1e-9)
+        # posterior differs from prior-latent prediction (different w source)
+        m_prior, _ = predict_f(params, cfg, X, k, 3)
+        assert not np.allclose(np.asarray(m), np.asarray(m_prior))
+
     def test_non_whitened_marginals_match(self):
         """predict_f_full_cov with white=False layers (--no_white family):
         diagonal must equal the marginal predict_f variance — closes the

@@ -293,7 +293,7 @@ class TestCarriedPrecision:
         H = jnp.asarray(P - np.eye(m), jnp.float64)[None]
         eye = jnp.eye(m, dtype=jnp.float64)[None]
         nv = [{"q_mu": jnp.zeros((m, 1), jnp.float64), "q_S": eye,
-               "q_Sinv": eye}]
+               "q_Sinv": eye, "q_logdet": jnp.zeros((1,), jnp.float64)}]
         g = [{"q_mu": jnp.zeros((m, 1), jnp.float64), "q_S": H}]
         new = natgrad_update(nv, g, gamma=0.5)
         S = np.asarray(new[0]["q_S"][0])
@@ -304,6 +304,37 @@ class TestCarriedPrecision:
         np.testing.assert_allclose(Sinv @ S, np.eye(m), atol=1e-4)
         # and the escalation really happened: carried precision != raw P_new
         assert np.abs(Sinv - np.asarray(jnp.eye(m) + H[0])).max() > 1e-12
+
+    def test_too_large_gamma_skips_block_instead_of_nan(self):
+        """A GENUINELY indefinite new precision (negative eigenvalue of
+        order gamma*|H| — no roundoff jitter fixes that) must leave the
+        block's (m, S, Sinv, logdet) at their previous values instead of
+        poisoning the carried state with NaN forever. Per-output-dim: an ok
+        block in the same update still steps."""
+        m = 4
+        eye = jnp.eye(m, dtype=jnp.float64)
+        # dim 0: H = -I -> P = I - 2*gamma*I = -I (indefinite, unrescuable)
+        # dim 1: H = +I -> P = 3I (fine, steps normally)
+        H = jnp.stack([-eye, eye])
+        nv = [{"q_mu": jnp.ones((m, 2), jnp.float64),
+               "q_S": jnp.stack([eye, eye]),
+               "q_Sinv": jnp.stack([eye, eye]),
+               "q_logdet": jnp.zeros((2,), jnp.float64)}]
+        g = [{"q_mu": jnp.zeros((m, 2), jnp.float64), "q_S": H}]
+        new = natgrad_update(nv, g, gamma=1.0)
+        S = np.asarray(new[0]["q_S"])
+        Sinv = np.asarray(new[0]["q_Sinv"])
+        mu = np.asarray(new[0]["q_mu"])
+        ld = np.asarray(new[0]["q_logdet"])
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(mu))
+        # dim 0 kept the old state exactly
+        np.testing.assert_array_equal(S[0], np.eye(m))
+        np.testing.assert_array_equal(Sinv[0], np.eye(m))
+        np.testing.assert_array_equal(mu[:, 0], np.ones(m))
+        assert ld[0] == 0.0
+        # dim 1 actually stepped: S = P^-1 = I/3
+        np.testing.assert_allclose(S[1], np.eye(m) / 3.0, atol=1e-12)
+        np.testing.assert_allclose(ld[1], m * np.log(1.0 / 3.0), atol=1e-10)
 
 
 class TestTrainer:

@@ -145,3 +145,25 @@ class TestNonWhitened:
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(new[0]["q_S"][0]), S_u,
                                    rtol=1e-5, atol=1e-8)
+
+
+class TestSharedFactors:
+    def test_gp_kls_with_prefactored_lm_matches(self):
+        """gp_kls(factors=...) must equal the recompute-Kuu path exactly:
+        the elbo now shares ONE batched Kuu factorization between the
+        conditionals and the non-whitened KLs (the KL used to re-gram and
+        re-factorize every non-white layer every step)."""
+        from dgps_with_iwvi_tpu.models.dgp import gp_kls, prefactor_gp_layers
+
+        cfg = DGPConfig(
+            layers=(
+                GPLayerConfig(d_in=3, d_out=2, num_inducing=6, white=False),
+                GPLayerConfig(d_in=2, d_out=1, num_inducing=6, final=True,
+                              white=False),
+            ),
+            num_data=16)
+        params = init_dgp(KEY, cfg, inner_q_sqrt_scale=0.4, dtype=jnp.float64)
+        factors = prefactor_gp_layers(params, cfg)
+        a = float(gp_kls(params, cfg))
+        b = float(gp_kls(params, cfg, factors))
+        np.testing.assert_allclose(b, a, rtol=1e-12)
