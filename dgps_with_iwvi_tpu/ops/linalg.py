@@ -20,6 +20,26 @@ from jax import lax
 
 DEFAULT_JITTER = 1e-6
 
+# Backend for chol_and_inverse's forward factorization+inverse pair:
+#   "auto"   — currently resolves to XLA at EVERY shape. The fused Pallas
+#              kernel (ops/pallas/chol.py) was measured SLOWER than the
+#              XLA cholesky + triangular_solve custom calls on the real
+#              v5e (139 us vs ~26 us/step for the flagship [2,128,128]
+#              prefactor): Cholesky's 128 sequential pivot steps hit
+#              Mosaic's ~0.3-0.5 us/op small-op overhead, which no amount
+#              of MXU blocking around them can hide. Measured negative
+#              result, kept for the record — see docs/PALLAS_SWEEP.md.
+#   "xla"    — always jnp.linalg.cholesky + triangular_solve.
+#   "pallas" — force the Pallas kernel (parity tests / re-measurement;
+#              CPU runs use the interpreter).
+CHOL_INV_BACKEND = "auto"
+
+
+def _pallas_chol_applicable(K: jax.Array) -> bool:
+    if CHOL_INV_BACKEND != "pallas":
+        return False  # auto == xla at every measured shape (see above)
+    return K.dtype == jnp.float32
+
 
 def add_jitter(K: jax.Array, jitter: float | jax.Array) -> jax.Array:
     """K + jitter * I on the trailing [..., M, M] axes."""
@@ -134,23 +154,30 @@ def cholesky_with_jitter(
         return _chol_reuse(Kj, L_safe)
 
     def _rescue(_):
-        # selection pass (no AD): factorize ALL escalation levels as ONE
-        # batched Cholesky and pick the smallest usable level per element.
-        K_sel = jax.lax.stop_gradient(K)
-        jitters = jnp.asarray(
-            [jitter * (10.0 ** i) for i in range(max_tries)], K.dtype)
-        K_all = K_sel[None] + jitters.reshape(
-            (max_tries,) + (1,) * len(batch_shape) + (1, 1)) * eye
-        ok_all = _chol_ok(jnp.linalg.cholesky(K_all))  # [T, *batch]
-        # first ok level (argmax of bool picks the first True); if none ok,
-        # fall through to the largest jitter
-        any_ok = jnp.any(ok_all, axis=0)
-        level = jnp.where(any_ok, jnp.argmax(ok_all, axis=0), max_tries - 1)
-        jit_sel = jitter * (10.0 ** level.astype(K.dtype))   # [*batch]
         # single differentiable factorization at the selected jitter
+        jit_sel = _select_jitter(K, jitter, max_tries)
         return jnp.linalg.cholesky(K + jit_sel[..., None, None] * eye)
 
     return jax.lax.cond(all_ok, _fast, _rescue, None)
+
+
+def _select_jitter(K: jax.Array, jitter: float, max_tries: int) -> jax.Array:
+    """Rescue-ladder selection pass (no AD): factorize ALL escalation
+    levels as ONE batched Cholesky and pick, per batch element, the
+    smallest usable jitter level (falling through to the largest when none
+    works). Returns the selected jitter, shape = K's batch shape."""
+    batch_shape = K.shape[:-2]
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    K_sel = jax.lax.stop_gradient(K)
+    jitters = jnp.asarray(
+        [jitter * (10.0 ** i) for i in range(max_tries)], K.dtype)
+    K_all = K_sel[None] + jitters.reshape(
+        (max_tries,) + (1,) * len(batch_shape) + (1, 1)) * eye
+    ok_all = _chol_ok(jnp.linalg.cholesky(K_all))  # [T, *batch]
+    # first ok level (argmax of bool picks the first True)
+    any_ok = jnp.any(ok_all, axis=0)
+    level = jnp.where(any_ok, jnp.argmax(ok_all, axis=0), max_tries - 1)
+    return jitter * (10.0 ** level.astype(K.dtype))   # [*batch]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -173,7 +200,30 @@ def chol_and_inverse(K: jax.Array, jitter: float = DEFAULT_JITTER,
 
     Values and gradients match cholesky_with_jitter + solve_triangular
     exactly (tested); only the backward op schedule differs.
+
+    Forward backend: on TPU at f32 / M <= 256 the (L, L^-1) pair comes
+    from ONE fused Pallas kernel (ops/pallas/chol.py) instead of two
+    latency-bound XLA linalg custom calls; CHOL_INV_BACKEND selects.
+    The jitter-rescue semantics are preserved: probe at the base jitter,
+    and only on failure run the escalation ladder + one refactorization.
     """
+    if _pallas_chol_applicable(K):
+        from .pallas.chol import chol_inv_pallas
+        interp = jax.default_backend() == "cpu"  # forced-pallas CPU parity
+        Ksg = jax.lax.stop_gradient(K)  # custom_vjp supplies the gradients
+        L, Linv = chol_inv_pallas(
+            add_jitter(Ksg, jnp.asarray(jitter, K.dtype)), interpret=interp)
+        if max_tries == 1:
+            return L, Linv
+        ok = jnp.all(_chol_ok(L))
+
+        def _rescue(_):
+            jit_sel = _select_jitter(Ksg, jitter, max_tries)
+            eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+            return chol_inv_pallas(Ksg + jit_sel[..., None, None] * eye,
+                                   interpret=interp)
+
+        return jax.lax.cond(ok, lambda _: (L, Linv), _rescue, None)
     L = cholesky_with_jitter(K, jitter, max_tries=max_tries)
     Linv = solve_triangular(
         L, jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape),
