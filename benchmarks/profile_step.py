@@ -81,6 +81,8 @@ def main():
         data_out = data_out.decode("utf-8", "replace")
     tables = json.loads(data_out)
     total_steps = args.steps_per_call * args.calls
+    if isinstance(tables, dict):  # some tools return ONE table, not a list
+        tables = [tables]
     if args.tool != "framework_op_stats":
         cols = [c["id"] for c in tables[0]["cols"]]
         print("cols:", cols)
