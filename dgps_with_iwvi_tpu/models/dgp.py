@@ -306,9 +306,14 @@ def predict_f(params, config: DGPConfig, X: jax.Array, key: jax.Array,
     or data_idx (non-amortized).
     """
     S = num_samples or config.num_samples
-    fmean, fvar, _, _ = propagate(
-        params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given,
-        Y=Y, data_idx=data_idx)
+    # inference hint: every predict_* path funnels through here, so the
+    # q-variance can take the fused Pallas kernel (no AD residual needed —
+    # ops/conditionals.py QVAR_PALLAS) whenever the shape qualifies
+    from ..ops.conditionals import qvar_inference_mode
+    with qvar_inference_mode():
+        fmean, fvar, _, _ = propagate(
+            params, config, X, key, (S,), lv_mode=lv_mode, ws_given=ws_given,
+            Y=Y, data_idx=data_idx)
     return fmean, fvar
 
 

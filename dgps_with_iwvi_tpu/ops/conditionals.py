@@ -24,6 +24,7 @@ broadcast transparently.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import NamedTuple
 
@@ -144,6 +145,66 @@ REMAT_QVAR_MAX_M = 256
 QVAR_BF16_RESIDUAL: bool | str = "auto"
 QVAR_BF16_MAX_M = 256
 
+# Backend for the q-variance quadratic form on INFERENCE paths. The XLA
+# path materializes the [D, M, cols] inner product to HBM — a necessary
+# AD residual in training, pure traffic at prediction time (43% of the
+# serving device call at S=100 B=8192 M=128: 5.3 of 12.3 ms, hlo_stats
+# 2026-08-18). The fused Pallas kernel (ops/pallas/qvar.py) keeps each
+# tile in VMEM. "auto" (default) uses it exactly when a prediction entry
+# point has set the inference hint (models/dgp.py predict_*) AND the
+# shape/precision preconditions hold (f32, var_precision='default',
+# M % 8 == 0, cols % 128 == 0); training objectives never take it — the
+# bf16-residual XLA backward measured faster than recompute at M <= 256.
+# "on"/"off" force it for A/B (benchmarks/qvar_pallas_ab.py).
+QVAR_PALLAS: bool | str = "auto"
+_QVAR_INFERENCE_HINT = False  # set via qvar_inference_mode()
+
+
+@contextlib.contextmanager
+def qvar_inference_mode():
+    """Trace-time hint: the enclosing trace is a prediction path (no ELBO
+    backward will consume the q-variance residual)."""
+    global _QVAR_INFERENCE_HINT
+    saved = _QVAR_INFERENCE_HINT
+    _QVAR_INFERENCE_HINT = True
+    try:
+        yield
+    finally:
+        _QVAR_INFERENCE_HINT = saved
+
+
+@contextlib.contextmanager
+def qvar_pallas_disabled():
+    """Trace-time override forcing the XLA q-variance path. Used when a
+    trace must stay platform-portable — e.g. serving.export_scorer with a
+    non-TPU platform in the target list, where a baked Mosaic custom call
+    would make the artifact's CPU copy unloadable."""
+    global QVAR_PALLAS
+    saved = QVAR_PALLAS
+    QVAR_PALLAS = "off"
+    try:
+        yield
+    finally:
+        QVAR_PALLAS = saved
+
+
+def _use_qvar_pallas(A: jax.Array, W, vp) -> bool:
+    if QVAR_PALLAS == "off" or QVAR_PALLAS is False:
+        return False
+    want = (QVAR_PALLAS == "on" or QVAR_PALLAS is True
+            or (QVAR_PALLAS == "auto" and _QVAR_INFERENCE_HINT))
+    if not want or vp != jax.lax.Precision.DEFAULT or W is None:
+        return False
+    if W.ndim != 3:
+        return False
+    from .pallas.qvar import applicable
+    if QVAR_PALLAS == "auto":
+        return applicable(A.shape, W, A.dtype)
+    # forced "on": allow CPU via the interpreter (parity tests)
+    m, n = A.shape[-2], A.shape[-1]
+    return (A.dtype == jnp.float32 and m == W.shape[-1]
+            and m % 8 == 0 and n % 128 == 0)
+
 
 def _use_bf16_residual(m: int, dtype) -> bool:
     if QVAR_BF16_RESIDUAL == "auto":
@@ -208,6 +269,11 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
         if q_S.ndim == 2:
             return jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2), q_S,
                               precision=vp)                 # [..., N, D]
+        if _use_qvar_pallas(A, q_S, vp):
+            from .pallas.qvar import qvar_fused
+            interp = jax.default_backend() == "cpu"
+            return jnp.swapaxes(
+                qvar_fused(A, q_S, True, interp), -1, -2)   # [..., N, D]
 
         def _qvar_cov(A, S):
             SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
@@ -226,6 +292,12 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
     if q_sqrt.ndim == 2:
         return jnp.matmul(jnp.swapaxes(jnp.square(A), -1, -2),
                           jnp.square(q_sqrt), precision=vp)  # [..., N, D]
+    if _use_qvar_pallas(A, q_sqrt, vp):
+        from .pallas.qvar import qvar_fused
+        interp = jax.default_backend() == "cpu"
+        Ltri = jnp.tril(q_sqrt)
+        return jnp.swapaxes(
+            qvar_fused(A, Ltri, False, interp), -1, -2)      # [..., N, D]
 
     def _qvar_root(A, L):
         # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]

@@ -27,6 +27,7 @@ log-density output; pass zeros when targets are unknown.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 
@@ -118,7 +119,15 @@ def export_scorer(params, config, *, batch_size: int, d_in: int, d_out: int,
            jax.ShapeDtypeStruct((batch_size, d_out), jnp.float32),
            jax.ShapeDtypeStruct((), jnp.int32))
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
-    return jax_export.export(jax.jit(fn), **kw)(*sds)
+    # A portable artifact must not bake in Mosaic custom calls: the fused
+    # q-variance kernel (ops/pallas/qvar.py) is TPU-only, so force the XLA
+    # path whenever a non-TPU platform is in the target list. TPU-only
+    # exports keep the kernel (+36% serving throughput at S=100 B=8192).
+    from .ops.conditionals import qvar_pallas_disabled
+    portable = platforms is not None and any(p != "tpu" for p in platforms)
+    ctx = qvar_pallas_disabled() if portable else contextlib.nullcontext()
+    with ctx:
+        return jax_export.export(jax.jit(fn), **kw)(*sds)
 
 
 def save_scorer(path: str, exported, *, num_samples: int,

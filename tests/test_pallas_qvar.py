@@ -1,0 +1,139 @@
+"""Fused q-variance kernel (ops/pallas/qvar.py): parity + dispatch.
+
+The kernel replaces the XLA q-variance path on PREDICTION traces (no AD
+residual needed there), where the XLA path's [D, M, cols] HBM round trip
+is 43% of the serving device call (docs/PERF.md). On the real v5e it is
+bitwise-equal to the XLA bf16-residual path at var_precision='default'
+(both run the same bf16-operand/f32-accumulate MXU pipeline); these CPU
+tests check the interpreter to the bf16 rounding class.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgps_with_iwvi_tpu.ops import conditionals as C
+from dgps_with_iwvi_tpu.ops.pallas.qvar import qvar_fused
+
+
+def _data(seed=0, S=3, M=128, N=512, D=5):
+    rng = np.random.RandomState(seed)
+    A = jnp.asarray(rng.randn(S, M, N).astype(np.float32))
+    L = jnp.asarray(0.3 * np.tril(rng.randn(D, M, M)).astype(np.float32))
+    return A, L
+
+
+def test_root_values():
+    A, L = _data()
+    out = qvar_fused(A, L, False, True)
+    LTA = jnp.einsum("dkm,skn->sdmn", L, A)
+    ref = jnp.sum(LTA ** 2, axis=-2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-2 * float(jnp.max(ref)))
+
+
+def test_cov_values():
+    A, L = _data(seed=1)
+    S_cov = jnp.matmul(L, jnp.swapaxes(L, -1, -2))
+    out = qvar_fused(A, S_cov, True, True)
+    SA = jnp.einsum("dmk,skn->sdmn", S_cov, A)
+    ref = jnp.einsum("smn,sdmn->sdn", A, SA)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-2 * float(jnp.max(jnp.abs(ref))))
+
+
+def test_gradients_match_reference_ad():
+    A, L = _data(S=2, N=256, D=3)
+    w = jnp.cos(jnp.arange(256.0, dtype=jnp.float32))
+
+    def loss_k(A, L):
+        return jnp.sum(qvar_fused(A, L, False, True) * w)
+
+    def loss_r(A, L):
+        LTA = jnp.einsum("dkm,skn->sdmn", L, A)
+        return jnp.sum(jnp.sum(LTA ** 2, -2) * w)
+
+    gA_k, gL_k = jax.grad(loss_k, (0, 1))(A, L)
+    gA_r, gL_r = jax.grad(loss_r, (0, 1))(A, L)
+    # CPU recompute backward runs f32-exact
+    np.testing.assert_allclose(np.asarray(gA_k), np.asarray(gA_r),
+                               atol=1e-4 * float(jnp.max(jnp.abs(gA_r))))
+    np.testing.assert_allclose(np.asarray(gL_k), np.asarray(gL_r),
+                               atol=1e-4 * float(jnp.max(jnp.abs(gL_r))))
+
+
+def test_dispatch_gating():
+    """auto requires the inference hint AND a TPU backend; 'on' forces."""
+    A, L = _data(N=256)
+    vp = jax.lax.Precision.DEFAULT
+    saved = C.QVAR_PALLAS
+    try:
+        C.QVAR_PALLAS = "auto"
+        assert not C._use_qvar_pallas(A, L, vp)        # no hint
+        with C.qvar_inference_mode():
+            # hint set, but CPU backend -> still off under auto
+            assert not C._use_qvar_pallas(A, L, vp)
+        C.QVAR_PALLAS = "on"
+        assert C._use_qvar_pallas(A, L, vp)            # forced
+        # never at non-default var precision
+        assert not C._use_qvar_pallas(A, L, jax.lax.Precision.HIGHEST)
+        # never for misaligned shapes
+        assert not C._use_qvar_pallas(A[..., :100], L, vp)
+        with C.qvar_pallas_disabled():                 # portability guard
+            assert not C._use_qvar_pallas(A, L, vp)
+        assert C._use_qvar_pallas(A, L, vp)            # restored
+    finally:
+        C.QVAR_PALLAS = saved
+
+
+def test_predict_parity_forced_on():
+    """End-to-end predict path: forced-pallas (interpreter) vs XLA."""
+    from dgps_with_iwvi_tpu.models import (BuildArgs, build_model,
+                                           predict_y_and_log_density)
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    X = jax.random.normal(kx, (640, 4), jnp.float32)
+    Y = jnp.sin(X[:, :1])
+    args = BuildArgs(configuration="LG", mode="IW", num_inducing=32,
+                     num_iw_samples=5)
+    config, params = build_model(jax.random.PRNGKey(1), args, X, Y)
+    # O(1) q_sqrt so the quadratic form is a visible fraction of fvar
+    rng = np.random.RandomState(0)
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        if "q_sqrt" in lp and np.ndim(lp["q_sqrt"]) == 3:
+            d, m, _ = lp["q_sqrt"].shape
+            lp["q_sqrt"] = jnp.asarray(
+                0.3 * np.tril(rng.randn(d, m, m)).astype(np.float32))
+        layers.append(lp)
+    params = dict(params, layers=layers)
+
+    xb, yb = X[:128], Y[:128]
+    saved = C.QVAR_PALLAS
+    try:
+        C.QVAR_PALLAS = "off"
+        (m0, v0), ld0 = predict_y_and_log_density(params, config, xb, yb,
+                                                  ky, 16)
+        C.QVAR_PALLAS = "on"
+        (m1, v1), ld1 = predict_y_and_log_density(params, config, xb, yb,
+                                                  ky, 16)
+    finally:
+        C.QVAR_PALLAS = saved
+    # same PRNG path; values differ only by the bf16 rounding class the
+    # production default (var_precision='default' + bf16 residual) already
+    # accepts
+    np.testing.assert_allclose(np.asarray(ld0), np.asarray(ld1), atol=0.05)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                               atol=0.05 * float(jnp.max(jnp.abs(m0))))
+
+
+@pytest.mark.parametrize("n", [256, 384])
+def test_tile_sizes(n):
+    A, L = _data(S=2, N=n, D=3)
+    out = qvar_fused(A, L, False, True)
+    LTA = jnp.einsum("dkm,skn->sdmn", L, A)
+    ref = jnp.sum(LTA ** 2, axis=-2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-2 * float(jnp.max(ref)))
