@@ -184,9 +184,21 @@ def gp_layer_propagate(
                   else jnp.tril(params["q_sqrt"]))
     if use_pallas == "auto":
         use_pallas = False  # measured: XLA >= pallas at every shape (docs/PALLAS_SWEEP.md)
-    fused_sample = (use_pallas and not cfg.final and cfg.white
-                    and not cfg.q_diag and q_cov is None)
-    if fused_sample:
+    # inference-only fully-fused conditional (prediction traces; see
+    # ops/conditionals.py SERVE_PALLAS): nothing [M, cols]-sized hits HBM
+    serve_fused = (not cfg.q_diag and q_cov is None
+                   and conditionals._serve_fused_applicable(
+                       F, params["Z"], q_sqrt, q_cov, cfg.kernel_kind,
+                       cfg.white, var_precision, solve_precision))
+    fused_sample = serve_fused and not cfg.final
+    if serve_fused:
+        raw_sample, out = conditionals.infer_conditional_fused(
+            key, F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,
+            sample=not cfg.final, jitter=jitter, jitter_tries=jitter_tries,
+            Lm=Lm, Linv=Linv)
+    elif (use_pallas and not cfg.final and cfg.white
+          and not cfg.q_diag and q_cov is None):
+        fused_sample = True
         # gram -> conditional -> reparameterized sample in one Pallas kernel
         raw_sample, out = conditionals.sample_conditional_fused(
             key, F, params["Z"], params["kernel"], params["q_mu"], q_sqrt,

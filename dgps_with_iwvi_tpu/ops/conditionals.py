@@ -523,6 +523,99 @@ def conditional(
                             solve_precision=solve_precision)
 
 
+# Fully-fused INFERENCE conditional (ops/pallas/serve_cond.py): gram ->
+# A -> moments -> sample per VMEM tile, nothing [M, cols]-sized touches
+# HBM. MEASURED NEGATIVE — "auto" resolves to OFF: at the serving shape
+# it reached only 420k points/s vs 600k plain-XLA and 850k with the
+# qvar-only kernel (QVAR_PALLAS), despite correct outputs (mean
+# log-density delta 2e-7). The arithmetic: ~30 Mosaic ops per tile
+# (three manual-bf16x3 dot stages + D q-variance dots + splits) at the
+# ~0.35 us/op small-op constant that also sank the chol kernel, and
+# VMEM caps the tile at 1024 rows so the op cost can't amortize.
+# Mosaic's measured sweet spot is ONE dot + reduce per tile (the qvar
+# kernel); long serial in-kernel chains lose to XLA's scheduler even
+# when they save 4x HBM traffic. Kept behind "on" for re-measurement;
+# quality-parity pinned in tests/test_serve_fused.py.
+SERVE_PALLAS: bool | str = "off"
+_SERVE_FUSED_MIN_COLS = 1024
+
+
+def _serve_fused_applicable(X, Z, q_sqrt, q_S, kernel_kind, white,
+                            var_precision, solve_precision) -> bool:
+    if SERVE_PALLAS == "off" or SERVE_PALLAS is False:
+        return False
+    want = (SERVE_PALLAS == "on" or SERVE_PALLAS is True
+            or (SERVE_PALLAS == "auto" and _QVAR_INFERENCE_HINT))
+    if not want:
+        return False
+    if kernel_kind != "rbf" or not white or q_S is not None:
+        return False
+    if q_sqrt is None or q_sqrt.ndim != 3:
+        return False
+    if X.dtype != jnp.float32 or Z.shape[0] % 128 != 0:
+        return False
+    if var_precision != "default" or solve_precision != "high":
+        return False
+    n_cols = 1
+    for s in X.shape[:-1]:
+        n_cols *= s
+    if n_cols < _SERVE_FUSED_MIN_COLS:
+        return False
+    if SERVE_PALLAS == "auto" and jax.default_backend() == "cpu":
+        return False
+    return True
+
+
+def infer_conditional_fused(
+    key: jax.Array | None,
+    X: jax.Array,          # [..., N, D_in]
+    Z: jax.Array,
+    kernel_params,
+    q_mu: jax.Array,
+    q_sqrt: jax.Array,
+    *,
+    sample: bool,
+    jitter: float = DEFAULT_JITTER,
+    jitter_tries: int = 4,
+    Lm: jax.Array | None = None,
+    Linv: jax.Array | None = None,
+) -> tuple[jax.Array | None, ConditionalOut]:
+    """Inference-only fused conditional (+ optional reparameterized
+    sample with ORDINARY threefry noise, drawn outside the kernel).
+    Callers must have checked _serve_fused_applicable."""
+    from .pallas.serve_cond import fused_conditional_infer
+
+    if Linv is None:
+        if Lm is None:
+            Kuu = kernels.K(kernel_params, Z, Z, kind="rbf")
+            Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
+        Linv = solve_triangular(Lm, jnp.eye(Z.shape[0], dtype=Lm.dtype),
+                                lower=True)
+    ls = kernels.kernel_lengthscales(kernel_params)
+    var = kernels.kernel_variance(kernel_params)
+    lead = X.shape[:-2]
+    n, d_in = X.shape[-2], X.shape[-1]
+    d_out = q_mu.shape[1]
+    xs = (jax.lax.stop_gradient(X) / ls).reshape((-1, d_in))
+    zs = Z / ls
+    shape = lead + (n, d_out)
+    interp = jax.default_backend() == "cpu"
+    if sample:
+        eps = jax.random.normal(key, shape, jnp.float32).reshape(
+            (-1, d_out))
+        samp, mean, v = fused_conditional_infer(
+            xs, zs, var, Linv, q_mu, q_sqrt, eps, sample=True,
+            interpret=interp)
+        return (samp.reshape(shape).astype(X.dtype),
+                ConditionalOut(mean.reshape(shape).astype(X.dtype),
+                               v.reshape(shape).astype(X.dtype)))
+    mean, v = fused_conditional_infer(
+        xs, zs, var, Linv, q_mu, q_sqrt, None, sample=False,
+        interpret=interp)
+    return None, ConditionalOut(mean.reshape(shape).astype(X.dtype),
+                                v.reshape(shape).astype(X.dtype))
+
+
 def sample_conditional_fused(
     key: jax.Array,
     X: jax.Array,          # [..., N, D_in]
