@@ -123,10 +123,45 @@ def measure_tpu(chunks: int = 6, steps_per_call: int = 2000,
     }
 
 
+def measure_serving(S: int = 100, B: int = 8192, calls: int = 24,
+                    rounds: int = 3) -> dict:
+    """Pipelined mixture-predictive scorer throughput (SURVEY.md §3.3 as a
+    production path): predict_y_and_log_density on the flagship model,
+    `calls` batches in flight, median of `rounds` after one discard.
+    Picks up the fused Pallas q-variance kernel automatically
+    (ops/pallas/qvar.py — the prediction-trace hint)."""
+    import numpy as np
+
+    from dgps_with_iwvi_tpu.models import (BuildArgs, build_model,
+                                           predict_y_and_log_density)
+
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    X = jax.random.normal(kx, (B, 8), jnp.float32)
+    Y = jnp.sin(X[:, :1]) + 0.1 * jax.random.normal(ky, (B, 1), jnp.float32)
+    bargs = BuildArgs(configuration="LGG", mode="IW", num_inducing=128,
+                      num_iw_samples=20)
+    config, params = build_model(jax.random.PRNGKey(0), bargs,
+                                 X[:2048], Y[:2048])
+    f = jax.jit(lambda xb, yb, k: predict_y_and_log_density(
+        params, config, xb, yb, k, S))
+    out = f(X, Y, ky)
+    jax.device_get(out[1])
+    rates = []
+    for rep in range(rounds + 1):
+        t0 = time.perf_counter()
+        outs = [f(X, Y, jax.random.fold_in(ky, 1000 * rep + i))
+                for i in range(calls)]
+        jax.device_get(outs[-1][1])
+        if rep:
+            rates.append(calls * B / (time.perf_counter() - t0))
+    return {"points_per_sec": float(np.median(rates)), "S": S, "B": B}
+
+
 def main():
     flag = measure_tpu()
     # throughput mode: same model, B=8192 — the compute-bound regime
     thr = measure_tpu(chunks=4, steps_per_call=250, minibatch=8192)
+    srv = measure_serving()
     try:
         from benchmarks.torch_cpu_baseline import measure_torch_steps_per_sec
 
@@ -162,6 +197,12 @@ def main():
             "mfu": round(thr["mfu"], 5) if thr["mfu"] else None,
             "mfu_adjusted": (round(thr["mfu_adjusted"], 5)
                              if thr["mfu_adjusted"] else None),
+        },
+        "serving_S100_B8192": {
+            "points_per_sec": round(srv["points_per_sec"], 0),
+            "note": "pipelined mixture-predictive scorer "
+                    "(predict_y_and_log_density, 24 calls in flight); "
+                    "fused Pallas q-variance kernel active",
         },
     }
     print(json.dumps(out))

@@ -73,8 +73,16 @@ def evaluate(
         # one propagate for BOTH the density and the moments (identical
         # results to separate predict_log_density/predict_y calls with the
         # same key, at half the compute)
-        (mean, _), ld = dgp.predict_y_and_log_density(
-            params, config, xb, yb, k, num_samples)
+        from ..ops.conditionals import qvar_pallas_disabled
+        import contextlib
+        # GSPMD cannot auto-partition a Mosaic custom call: under a mesh,
+        # the fused q-variance kernel would force replication (or fail to
+        # shard) — keep the sharded path pure-XLA
+        ctx = qvar_pallas_disabled() if mesh is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            (mean, _), ld = dgp.predict_y_and_log_density(
+                params, config, xb, yb, k, num_samples)
         return ld, mean
 
     outs = []

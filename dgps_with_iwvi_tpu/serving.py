@@ -27,7 +27,6 @@ log-density output; pass zeros when targets are unknown.
 
 from __future__ import annotations
 
-import contextlib
 import dataclasses
 import json
 
@@ -119,14 +118,16 @@ def export_scorer(params, config, *, batch_size: int, d_in: int, d_out: int,
            jax.ShapeDtypeStruct((batch_size, d_out), jnp.float32),
            jax.ShapeDtypeStruct((), jnp.int32))
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
-    # A portable artifact must not bake in Mosaic custom calls: the fused
-    # q-variance kernel (ops/pallas/qvar.py) is TPU-only, so force the XLA
-    # path whenever a non-TPU platform is in the target list. TPU-only
-    # exports keep the kernel (+36% serving throughput at S=100 B=8192).
+    # Artifacts contain ONLY stock StableHLO ops — no Mosaic custom calls:
+    # (a) a baked TPU kernel would make any cpu-including export unloadable
+    # off-TPU, and (b) measured through ServingArtifact.score's host loop
+    # the fused q-variance kernel is neutral-to-slightly-negative anyway
+    # (459k vs 483k points/s at B=8192 — the artifact path is bound by
+    # per-batch input upload, not device compute). The LIVE serving path
+    # (serve.py without --from_export, evaluate()) keeps the kernel, where
+    # it measures 1.46x (docs/PERF.md).
     from .ops.conditionals import qvar_pallas_disabled
-    portable = platforms is not None and any(p != "tpu" for p in platforms)
-    ctx = qvar_pallas_disabled() if portable else contextlib.nullcontext()
-    with ctx:
+    with qvar_pallas_disabled():
         return jax_export.export(jax.jit(fn), **kw)(*sds)
 
 

@@ -257,7 +257,15 @@ def run(args) -> dict:
 
     @jax.jit
     def score(params, xb, yb, k):
-        return predict_y_and_log_density(params, config, xb, yb, k, S)
+        import contextlib
+        from dgps_with_iwvi_tpu.ops.conditionals import qvar_pallas_disabled
+        # GSPMD cannot auto-partition a Mosaic custom call — the sharded
+        # path stays pure-XLA (single-device scoring keeps the fused
+        # q-variance kernel, ops/pallas/qvar.py)
+        ctx = qvar_pallas_disabled() if mesh is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            return predict_y_and_log_density(params, config, xb, yb, k, S)
 
     def _place(xb, yb):
         if mesh is None:
