@@ -42,7 +42,12 @@ def evaluate(
     *,
     y_std: np.ndarray,
     num_samples: int = 100,
-    batch_size: int = 1024,
+    # 4096 measured fastest on the v5e at year-scale test sets (87.2k vs
+    # 52.2k points/s at 1024 and 62.1k at 8192, S=100 LGG M=128 — bigger
+    # batches amortize per-call overhead and keep the fused q-variance
+    # kernel's tiles full; 8192 loses to tail padding). bs = min(bs, n)
+    # below keeps small test sets cheap.
+    batch_size: int = 4096,
     likelihood: str = "gaussian",
     mesh=None,
 ):
