@@ -275,3 +275,43 @@ def get_classification_data(
         X_test=std(X[te]), Y_test=Y[te].astype(dtype),
         X_mean=X_mean, X_std=X_std, Y_mean=0.0 * ones, Y_std=ones,
         split=split, synthetic=synthetic)
+
+
+def get_multiclass_data(
+    name: str,
+    split: int = 0,
+    prop: float = 0.9,
+    data_dir: str = DEFAULT_DATA_DIR,
+    dtype=np.float32,
+    max_n: int | None = None,
+    n_classes: int = 3,
+) -> Dataset:
+    """C-class variant: X standardized by train stats, labels kept as one
+    integer column in [0, C). Pre-staged files hold class indices in Y (the
+    label set must be {0..C-1}); the synthetic surrogate bins its latent
+    function into C equal-mass quantile bins, giving a class boundary
+    structure a DGP can actually learn."""
+    X, Y, synthetic = _load_raw(name, data_dir)
+    if synthetic:
+        edges = np.quantile(Y[:, 0], np.linspace(0, 1, n_classes + 1)[1:-1])
+        Y = np.searchsorted(edges, Y[:, 0]).astype(np.float64)[:, None]
+    assert Y.shape[1] == 1, "multiclass labels must be one integer column"
+    labels = np.unique(Y)
+    assert set(labels) <= set(float(c) for c in range(n_classes)), \
+        f"labels {labels} must be integers in [0, {n_classes})"
+    if max_n is not None and X.shape[0] > max_n:
+        X, Y = X[:max_n], Y[:max_n]
+    N = X.shape[0]
+    perm = np.random.RandomState(split).permutation(N)
+    n_train = int(prop * N)
+    tr, te = perm[:n_train], perm[n_train:]
+    X_mean, X_std = X[tr].mean(0), X[tr].std(0)
+    X_std = np.where(X_std <= 1e-10, 1.0, X_std)
+    ones = np.ones(Y.shape[1])
+    std = lambda A: ((A - X_mean) / X_std).astype(dtype)
+    return Dataset(
+        name=name,
+        X_train=std(X[tr]), Y_train=Y[tr].astype(dtype),
+        X_test=std(X[te]), Y_test=Y[te].astype(dtype),
+        X_mean=X_mean, X_std=X_std, Y_mean=0.0 * ones, Y_std=ones,
+        split=split, synthetic=synthetic)

@@ -56,8 +56,10 @@ def evaluate(
     test_loglik is the mean per-point mixture log-density in ORIGINAL units;
     test_rmse the root-mean-square error of the mixture mean, original units.
 
-    likelihood='bernoulli': labels are not unit-standardized, so no
-    un-normalization applies; adds test_accuracy (mixture p > 0.5).
+    Non-Gaussian likelihoods train on un-standardized labels, so model units
+    are original units and no un-normalization applies; 'bernoulli' and
+    'multiclass' additionally report test_accuracy (mixture p > 0.5 /
+    argmax over mixture class probabilities).
 
     mesh: optional jax.sharding.Mesh — shards test ROWS over every mesh
     device (params replicated) and lets GSPMD partition the one-propagate
@@ -105,26 +107,43 @@ def evaluate(
         # and the single device_get below overlaps all the host copies —
         # a per-batch np.asarray here costs one ~30 ms tunnel round trip
         # EACH and serializes the whole eval loop
-        outs.append((pad, ld, mean - yb))  # error in normalized units
+        outs.append((pad, ld, mean, yb))
 
-    fetched = jax.device_get([(ld, err) for _, ld, err in outs])
-    lds, err_chunks = [], []
-    for (pad, _, _), (ld, err) in zip(outs, fetched):
+    fetched = jax.device_get([(ld, mean, yb) for _, ld, mean, yb in outs])
+    lds, mean_chunks, y_chunks = [], [], []
+    for (pad, _, _, _), (ld, mean, yb) in zip(outs, fetched):
         lds.append(ld[:bs - pad])
-        err_chunks.append(err[:bs - pad])
-    errs = np.concatenate(err_chunks)                   # [n, d_y]
+        mean_chunks.append(mean[:bs - pad])
+        y_chunks.append(yb[:bs - pad])
+    means = np.concatenate(mean_chunks)                 # [n, d_out]
+    ys = np.concatenate(y_chunks)                       # [n, d_y]
     ld_norm = float(np.concatenate(lds).mean())
-    rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
-    if likelihood == "bernoulli":
-        # errs = p - y with y in {0,1}: |err| < 0.5 <=> correct prediction
-        acc = float(np.mean(np.all(np.abs(errs) < 0.5, axis=-1)))
+    if likelihood == "multiclass":
+        # means holds mixture class probabilities [n, C]; ys integer labels
+        acc = float(np.mean(np.argmax(means, axis=-1) == ys[:, 0]))
         return {
+            "test_loglik": ld_norm,
+            "test_rmse": float("nan"),
+            "test_loglik_normalized": ld_norm,
+            "test_rmse_normalized": float("nan"),
+            "test_accuracy": acc,
+        }
+    errs = means - ys                                   # in model units
+    rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
+    if likelihood != "gaussian":
+        # non-Gaussian observation families train on UN-standardized labels
+        # (counts, positives, {0,1}, [0,1]) — model units ARE original units
+        out = {
             "test_loglik": ld_norm,
             "test_rmse": rmse_norm,
             "test_loglik_normalized": ld_norm,
             "test_rmse_normalized": rmse_norm,
-            "test_accuracy": acc,
         }
+        if likelihood == "bernoulli":
+            # means = mixture p(y=1): |p - y| < 0.5 <=> correct prediction
+            out["test_accuracy"] = float(
+                np.mean(np.all(np.abs(errs) < 0.5, axis=-1)))
+        return out
     y_std = np.asarray(y_std).reshape(1, -1)
     rmse_orig = float(np.sqrt(np.mean(np.sum((errs * y_std) ** 2, -1))))
     log_sigma = float(np.sum(np.log(y_std)))            # per-dim sum

@@ -39,7 +39,12 @@ class BuildArgs:
     use_pallas: bool | str = "auto"
     kernel_kind: str = "rbf"    # rbf | matern12 | matern32 | matern52
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
-    likelihood: str = "gaussian"  # gaussian | bernoulli (probit)
+    # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): gaussian,
+    # bernoulli (probit), student_t, poisson, exponential, gamma, beta,
+    # multiclass (robust-max; Y holds integer labels in one column and the
+    # final GP layer gets num_classes outputs)
+    likelihood: str = "gaussian"
+    num_classes: int = 2        # multiclass only: C = final-layer width
     jitter_tries: int = 4
     white: bool = True          # whitened parameterization (reference default)
     q_diag: bool = False        # diagonal q(u) covariance; works with both
@@ -148,6 +153,12 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
     tokens = args.configuration.upper()
     assert tokens and set(tokens) <= {"G", "L"}, f"bad configuration {tokens!r}"
     assert tokens.endswith("G"), "configuration must end with a GP layer"
+    # the final GP layer's width: d_y outputs, except multiclass where it is
+    # one output per class (the encoder's Y input stays the raw label column)
+    d_out_final = d_y
+    if args.likelihood == "multiclass":
+        assert d_y == 1, "multiclass expects integer labels in one Y column"
+        d_out_final = args.num_classes
     inner_dim = min(d_x, args.inner_dim_cap)
     layer_cfgs: list = []
     width = d_x
@@ -165,7 +176,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         else:
             gp_seen += 1
             final = gp_seen == n_gp
-            d_out = d_y if final else inner_dim
+            d_out = d_out_final if final else inner_dim
             layer_cfgs.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=args.num_inducing,
                 kernel_kind=args.kernel_kind, final=final, white=args.white,

@@ -61,7 +61,10 @@ class DGPConfig:
     # resolves to False everywhere; the kernel stays available (True) as
     # the mandated fused-pipeline capability and for future tuning.
     use_pallas: bool | str = "auto"
-    likelihood: str = "gaussian"  # 'gaussian' | 'bernoulli' (probit)
+    # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): 'gaussian',
+    # 'bernoulli' (probit), 'student_t', 'poisson', 'exponential', 'gamma',
+    # 'beta', 'multiclass' (robust-max; final layer d_out = num classes)
+    likelihood: str = "gaussian"
     # Kuu jitter-escalation depth; 1 = single fixed-jitter factorization
     # (fastest, no rescue), 4 = default 10x escalation ladder
     jitter_tries: int = 4
@@ -389,17 +392,15 @@ def predict_y_samples(params, config: DGPConfig, X: jax.Array,
                       data_idx: jax.Array | None = None):
     """S observation draws [S, B, d_y]: function draws pushed through the
     observation model (gaussian: + N(0, noise_variance); bernoulli/probit:
-    binary draws at the sampled f)."""
+    binary draws at the sampled f; every other family per
+    ops/likelihoods.py dispatch_sample_observations — multiclass returns
+    [S, B, 1] class labels from [S, B, C] function draws)."""
     kf, ky = jax.random.split(key)
     fs = predict_f_samples(params, config, X, kf, num_samples,
                            lv_mode=lv_mode, ws_given=ws_given, Y=Y,
                            data_idx=data_idx)
-    if config.likelihood == "bernoulli":
-        p = jax.scipy.stats.norm.cdf(fs)
-        return jax.random.bernoulli(ky, p).astype(fs.dtype)
-    s2 = likelihoods.noise_variance(params["likelihood"])
-    eps = jax.random.normal(ky, fs.shape, fs.dtype)
-    return fs + jnp.sqrt(s2) * eps
+    return likelihoods.dispatch_sample_observations(
+        params["likelihood"], ky, fs, kind=config.likelihood)
 
 
 def predict_y(params, config: DGPConfig, X: jax.Array, key: jax.Array,

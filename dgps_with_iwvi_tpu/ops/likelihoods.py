@@ -151,33 +151,431 @@ def bernoulli_predict_density(params: LikelihoodParams, fmean: jax.Array,
     return jnp.sum(per_dim, axis=-1)
 
 
+def gauss_hermite_log_expectation(logp_fn, mean: jax.Array, var: jax.Array,
+                                  n_points: int = DEFAULT_NUM_GAUSS_HERMITE):
+    """log E_{N(f|mean,var)}[exp(logp_fn(f))], elementwise over mean/var.
+
+    The log-space companion of :func:`gauss_hermite_expectation` — used for
+    predictive densities log ∫ p(y|f) N(f|m,v) df of non-conjugate
+    likelihoods, where the quadrature must run under a logsumexp to avoid
+    underflow of p(y|f) at the tail abscissae.
+    """
+    import numpy as _np
+
+    from .conditionals import safe_sqrt
+
+    xs, ws = _np.polynomial.hermite_e.hermegauss(n_points)
+    logws = _np.log(ws / _np.sqrt(2.0 * _np.pi))
+    xs = jnp.asarray(xs, mean.dtype)
+    logws = jnp.asarray(logws, mean.dtype)
+    f = mean[..., None] + safe_sqrt(var)[..., None] * xs
+    return jax.nn.logsumexp(logp_fn(f) + logws, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Wider likelihood family (TPU-native rebuild of the non-Gaussian part of
+# gpflow:gpflow/likelihoods.py, same semantics and default links). The
+# reference experiments only exercise Gaussian, but the dependency layer the
+# rebuild replaces ships the full family; each entry provides the same trio
+# (variational_expectations / predict_mean_and_var / predict_density) and
+# plugs into both objectives and the mixture evaluation path unchanged.
+# Analytic forms are used wherever the exp-link integrals are closed
+# (Poisson/Exponential/Gamma data terms; all log-Normal moments); everything
+# else runs compile-time-constant Gauss-Hermite rules.
+# --------------------------------------------------------------------------
+
+
+def _expn(mean, var, a: float):
+    """E[exp(a f)] under N(f | mean, var) = exp(a m + a^2 v / 2)."""
+    return jnp.exp(a * mean + (a * a / 2.0) * var)
+
+
+# ---- Student-t (identity link; scale trainable, df fixed per gpflow) -----
+
+def student_t_params(scale: float = 1.0, df: float = 3.0,
+                     dtype=jnp.float32) -> LikelihoodParams:
+    """df is stored in the pytree but consumed through stop_gradient —
+    gpflow's StudentT likewise ships df as a non-trainable parameter."""
+    return {"raw_scale": positive_inverse(jnp.asarray(scale, dtype)),
+            "df": jnp.asarray(df, dtype)}
+
+
+def _student_t_logp(scale, df, f, y):
+    z = jnp.square(y - f) / (df * jnp.square(scale))
+    return (jax.scipy.special.gammaln((df + 1.0) / 2.0)
+            - jax.scipy.special.gammaln(df / 2.0)
+            - 0.5 * jnp.log(df * jnp.pi * jnp.square(scale))
+            - ((df + 1.0) / 2.0) * jnp.log1p(z))
+
+
+def student_t_variational_expectations(params, mean, var, y,
+                                       n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    scale = positive(params["raw_scale"])
+    df = jax.lax.stop_gradient(params["df"])
+    per_dim = gauss_hermite_expectation(
+        lambda f: _student_t_logp(scale, df, f, y[..., None]),
+        mean, var, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+def student_t_predict_mean_and_var(params, fmean, fvar):
+    """Var(y|f) = scale^2 df/(df-2) (finite for df > 2; inf otherwise,
+    matching the true moments)."""
+    scale = positive(params["raw_scale"])
+    df = jax.lax.stop_gradient(params["df"])
+    cond_var = jnp.square(scale) * df / (df - 2.0)
+    return fmean, fvar + cond_var
+
+
+def student_t_predict_density(params, fmean, fvar, y,
+                              n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    scale = positive(params["raw_scale"])
+    df = jax.lax.stop_gradient(params["df"])
+    per_dim = gauss_hermite_log_expectation(
+        lambda f: _student_t_logp(scale, df, f, y[..., None]),
+        fmean, fvar, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+# ---- Poisson (exp link; analytic data term) ------------------------------
+
+def poisson_params(dtype=jnp.float32) -> LikelihoodParams:
+    return {"_unused": jnp.zeros((), dtype)}
+
+
+def poisson_variational_expectations(params, mean, var, y, n_points=None):
+    """E[y f - exp(f) - log y!] = y m - exp(m + v/2) - lgamma(y+1): the
+    exp-link Poisson data term is fully analytic (gpflow special-cases this
+    identically)."""
+    del params, n_points
+    per_dim = (y * mean - _expn(mean, var, 1.0)
+               - jax.scipy.special.gammaln(y + 1.0))
+    return jnp.sum(per_dim, axis=-1)
+
+
+def poisson_predict_mean_and_var(params, fmean, fvar):
+    """Law of total variance with lognormal rate lam = exp(f):
+    E[y] = E[lam]; Var[y] = E[lam] + Var[lam]."""
+    del params
+    m = _expn(fmean, fvar, 1.0)
+    # Var[lam] = E[exp(2f)] - E[exp(f)]^2 = exp(2m+v)(exp(v)-1) = m^2 expm1(v)
+    v = m + jnp.square(m) * jnp.expm1(fvar)
+    return m, v
+
+
+def poisson_predict_density(params, fmean, fvar, y,
+                            n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    del params
+    per_dim = gauss_hermite_log_expectation(
+        lambda f: (y[..., None] * f - jnp.exp(f)
+                   - jax.scipy.special.gammaln(y[..., None] + 1.0)),
+        fmean, fvar, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+# ---- Exponential (exp link = conditional mean; analytic data term) -------
+
+def exponential_params(dtype=jnp.float32) -> LikelihoodParams:
+    return {"_unused": jnp.zeros((), dtype)}
+
+
+def exponential_variational_expectations(params, mean, var, y, n_points=None):
+    """p(y|f) = exp(-y/lam)/lam, lam = exp(f):
+    E[-f - y exp(-f)] = -m - y exp(-m + v/2)."""
+    del params, n_points
+    per_dim = -mean - y * _expn(mean, var, -1.0)
+    return jnp.sum(per_dim, axis=-1)
+
+
+def exponential_predict_mean_and_var(params, fmean, fvar):
+    del params
+    m = _expn(fmean, fvar, 1.0)
+    # E[y^2|f] = 2 lam^2  =>  Var[y] = 2 E[lam^2] - E[lam]^2,
+    # E[lam^2] = E[exp(2f)] = _expn(a=2)
+    v = 2.0 * _expn(fmean, fvar, 2.0) - jnp.square(m)
+    return m, v
+
+
+def exponential_predict_density(params, fmean, fvar, y,
+                                n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    del params
+    per_dim = gauss_hermite_log_expectation(
+        lambda f: -f - y[..., None] * jnp.exp(-f), fmean, fvar, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+# ---- Gamma (trainable shape; exp link = scale; analytic data term) -------
+
+def gamma_params(shape: float = 1.0, dtype=jnp.float32) -> LikelihoodParams:
+    return {"raw_shape": positive_inverse(jnp.asarray(shape, dtype))}
+
+
+def gamma_variational_expectations(params, mean, var, y, n_points=None):
+    """p(y|f) = Gamma(y; k, theta=exp(f)):
+    E[(k-1)log y - y exp(-f) - k f - lgamma(k)]."""
+    del n_points
+    k = positive(params["raw_shape"])
+    per_dim = ((k - 1.0) * jnp.log(y) - y * _expn(mean, var, -1.0)
+               - k * mean - jax.scipy.special.gammaln(k))
+    return jnp.sum(per_dim, axis=-1)
+
+
+def gamma_predict_mean_and_var(params, fmean, fvar):
+    k = positive(params["raw_shape"])
+    e_th = _expn(fmean, fvar, 1.0)
+    m = k * e_th
+    # E[Var(y|f)] + Var(E(y|f)) = k E[th^2] + k^2 Var[th], th lognormal:
+    # E[th^2] = E[exp(2f)] = _expn(a=2), Var[th] = E[th^2] - E[th]^2
+    e_th2 = _expn(fmean, fvar, 2.0)
+    v = k * e_th2 + jnp.square(k) * (e_th2 - jnp.square(e_th))
+    return m, v
+
+
+def gamma_predict_density(params, fmean, fvar, y,
+                          n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    k = positive(params["raw_shape"])
+    per_dim = gauss_hermite_log_expectation(
+        lambda f: ((k - 1.0) * jnp.log(y[..., None]) - y[..., None] * jnp.exp(-f)
+                   - k * f - jax.scipy.special.gammaln(k)),
+        fmean, fvar, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+# ---- Beta (logit link; trainable scale) ----------------------------------
+
+def beta_params(scale: float = 1.0, dtype=jnp.float32) -> LikelihoodParams:
+    return {"raw_scale": positive_inverse(jnp.asarray(scale, dtype))}
+
+
+def _beta_logp(scale, f, y):
+    mu = jax.nn.sigmoid(f)
+    alpha = mu * scale
+    beta = (1.0 - mu) * scale
+    gammaln = jax.scipy.special.gammaln
+    return ((alpha - 1.0) * jnp.log(y) + (beta - 1.0) * jnp.log1p(-y)
+            + gammaln(scale) - gammaln(alpha) - gammaln(beta))
+
+
+def beta_variational_expectations(params, mean, var, y,
+                                  n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    scale = positive(params["raw_scale"])
+    per_dim = gauss_hermite_expectation(
+        lambda f: _beta_logp(scale, f, y[..., None]), mean, var, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+def beta_predict_mean_and_var(params, fmean, fvar,
+                              n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    """E[y] = E[mu(f)], Var[y] = E[mu(1-mu)/(scale+1)] + Var[mu(f)],
+    mu = sigmoid(f) — three quadratures sharing the rule."""
+    scale = positive(params["raw_scale"])
+    e_mu = gauss_hermite_expectation(jax.nn.sigmoid, fmean, fvar, n_points)
+    e_mu2 = gauss_hermite_expectation(
+        lambda f: jnp.square(jax.nn.sigmoid(f)), fmean, fvar, n_points)
+    cond_v = (e_mu - e_mu2) / (scale + 1.0)
+    v = cond_v + jnp.maximum(e_mu2 - jnp.square(e_mu), 0.0)
+    return e_mu, v
+
+
+def beta_predict_density(params, fmean, fvar, y,
+                         n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    scale = positive(params["raw_scale"])
+    per_dim = gauss_hermite_log_expectation(
+        lambda f: _beta_logp(scale, f, y[..., None]), fmean, fvar, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+# ---- Multiclass (robust-max link; gpflow MultiClass/RobustMax) -----------
+#
+# C-class classification: the final GP layer has d_out = C independent
+# outputs; p(y=c | f) = 1-eps if f_c = max_j f_j else eps/(C-1). All the
+# required integrals reduce to ONE-dimensional quadrature over the winning
+# component f_c against the product of the other components' normal CDFs —
+# this is why the reference stack uses robust-max instead of softmax (which
+# has no deterministic quadrature). y holds the integer class in a [N, 1]
+# float column, matching the loader's label convention.
+
+ROBUSTMAX_EPS = 1e-3
+
+
+def multiclass_params(dtype=jnp.float32) -> LikelihoodParams:
+    return {"_unused": jnp.zeros((), dtype)}
+
+
+def _robustmax_p_win(mean, var, onehot, n_points):
+    """P(f_c >= f_j for all j) for the class marked by onehot[..., C].
+
+    mean/var: [..., C]; onehot broadcastable to mean. One GH rule over the
+    winning component; the j == c factor is masked to 1.
+    """
+    import numpy as _np
+
+    from .conditionals import safe_sqrt
+
+    xs, ws = _np.polynomial.hermite_e.hermegauss(n_points)
+    ws = ws / _np.sqrt(2.0 * _np.pi)
+    xs = jnp.asarray(xs, mean.dtype)
+    ws = jnp.asarray(ws, mean.dtype)
+    sd = safe_sqrt(var)
+    m_c = jnp.sum(mean * onehot, axis=-1, keepdims=True)      # [..., 1]
+    sd_c = jnp.sum(sd * onehot, axis=-1, keepdims=True)
+    fc = m_c[..., None] + sd_c[..., None] * xs                # [..., 1, Q]
+    z = (fc - mean[..., None]) / sd[..., None]                # [..., C, Q]
+    logcdf = jax.scipy.stats.norm.logcdf(z)
+    logcdf = jnp.where(onehot[..., None] > 0.5, 0.0, logcdf)  # mask j == c
+    prod = jnp.exp(jnp.sum(logcdf, axis=-2))                  # [..., Q]
+    return jnp.clip(jnp.sum(prod * ws, axis=-1), 0.0, 1.0)    # [...]
+
+
+def _class_onehot(y, num_classes, dtype):
+    """[..., 1] float class column -> [..., C] one-hot."""
+    return jax.nn.one_hot(y[..., 0].astype(jnp.int32), num_classes,
+                          dtype=dtype)
+
+
+def multiclass_variational_expectations(params, mean, var, y,
+                                        n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    """E[log p(y|f)] = P_win log(1-eps) + (1-P_win) log(eps/(C-1)) — exact
+    given P_win, since log p takes only two values."""
+    del params
+    C = mean.shape[-1]
+    onehot = _class_onehot(y, C, mean.dtype)
+    p = _robustmax_p_win(mean, var, onehot, n_points)
+    return (p * _math.log(1.0 - ROBUSTMAX_EPS)
+            + (1.0 - p) * _math.log(ROBUSTMAX_EPS / (C - 1)))
+
+
+def multiclass_predict_probs(params, fmean, fvar,
+                             n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    """Predictive class probabilities [..., C]:
+    p_c = (1-eps) P(win_c) + eps/(C-1) (1 - P(win_c))."""
+    del params
+    C = fmean.shape[-1]
+    eye = jnp.eye(C, dtype=fmean.dtype)
+    p_win = jax.vmap(
+        lambda oh: _robustmax_p_win(fmean, fvar, oh, n_points),
+        out_axes=-1)(eye)                                     # [..., C]
+    return (1.0 - ROBUSTMAX_EPS) * p_win \
+        + (ROBUSTMAX_EPS / (C - 1)) * (1.0 - p_win)
+
+
+def multiclass_predict_mean_and_var(params, fmean, fvar,
+                                    n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    p = multiclass_predict_probs(params, fmean, fvar, n_points)
+    return p, p - jnp.square(p)
+
+
+def multiclass_predict_density(params, fmean, fvar, y,
+                               n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    C = fmean.shape[-1]
+    onehot = _class_onehot(y, C, fmean.dtype)
+    p_win = _robustmax_p_win(fmean, fvar, onehot, n_points)
+    p = (1.0 - ROBUSTMAX_EPS) * p_win \
+        + (ROBUSTMAX_EPS / (C - 1)) * (1.0 - p_win)
+    return jnp.log(p)
+
+
 # ------------------------------------------------------------ dispatch ----
 
+_FAMILIES = {
+    "gaussian": (variational_expectations, predict_mean_and_var,
+                 predict_density),
+    "bernoulli": (bernoulli_variational_expectations,
+                  bernoulli_predict_mean_and_var, bernoulli_predict_density),
+    "student_t": (student_t_variational_expectations,
+                  student_t_predict_mean_and_var, student_t_predict_density),
+    "poisson": (poisson_variational_expectations,
+                poisson_predict_mean_and_var, poisson_predict_density),
+    "exponential": (exponential_variational_expectations,
+                    exponential_predict_mean_and_var,
+                    exponential_predict_density),
+    "gamma": (gamma_variational_expectations, gamma_predict_mean_and_var,
+              gamma_predict_density),
+    "beta": (beta_variational_expectations, beta_predict_mean_and_var,
+             beta_predict_density),
+    "multiclass": (multiclass_variational_expectations,
+                   multiclass_predict_mean_and_var,
+                   multiclass_predict_density),
+}
+
+LIKELIHOOD_KINDS = tuple(_FAMILIES)
+
+
 def init_params(kind: str = "gaussian", noise_variance: float = 0.05,
-                dtype=jnp.float32) -> LikelihoodParams:
+                dtype=jnp.float32, **family_kwargs) -> LikelihoodParams:
+    """family_kwargs: per-family inits — student_t(scale, df), gamma(shape),
+    beta(scale). noise_variance only applies to the Gaussian."""
     if kind == "gaussian":
         return gaussian_params(noise_variance, dtype)
     if kind == "bernoulli":
         return bernoulli_params(dtype)
-    raise ValueError(f"unknown likelihood {kind!r}")
+    if kind == "student_t":
+        return student_t_params(dtype=dtype, **family_kwargs)
+    if kind == "poisson":
+        return poisson_params(dtype)
+    if kind == "exponential":
+        return exponential_params(dtype)
+    if kind == "gamma":
+        return gamma_params(dtype=dtype, **family_kwargs)
+    if kind == "beta":
+        return beta_params(dtype=dtype, **family_kwargs)
+    if kind == "multiclass":
+        return multiclass_params(dtype)
+    raise ValueError(f"unknown likelihood {kind!r}; "
+                     f"one of {LIKELIHOOD_KINDS}")
 
 
 def dispatch_variational_expectations(params, mean, var, y, *,
                                       kind: str = "gaussian") -> jax.Array:
-    if kind == "gaussian":
-        return variational_expectations(params, mean, var, y)
-    return bernoulli_variational_expectations(params, mean, var, y)
+    return _FAMILIES[kind][0](params, mean, var, y)
 
 
 def dispatch_predict_mean_and_var(params, fmean, fvar, *,
                                   kind: str = "gaussian"):
-    if kind == "gaussian":
-        return predict_mean_and_var(params, fmean, fvar)
-    return bernoulli_predict_mean_and_var(params, fmean, fvar)
+    return _FAMILIES[kind][1](params, fmean, fvar)
 
 
 def dispatch_predict_density(params, fmean, fvar, y, *,
                              kind: str = "gaussian") -> jax.Array:
+    return _FAMILIES[kind][2](params, fmean, fvar, y)
+
+
+def dispatch_sample_observations(params, key: jax.Array, fs: jax.Array, *,
+                                 kind: str = "gaussian") -> jax.Array:
+    """One observation draw per function draw f (same shape): the sampling
+    side of the observation model (predict_y_samples)."""
     if kind == "gaussian":
-        return predict_density(params, fmean, fvar, y)
-    return bernoulli_predict_density(params, fmean, fvar, y)
+        s2 = noise_variance(params)
+        return fs + jnp.sqrt(s2) * jax.random.normal(key, fs.shape, fs.dtype)
+    if kind == "bernoulli":
+        p = jax.scipy.stats.norm.cdf(fs)
+        return jax.random.bernoulli(key, p).astype(fs.dtype)
+    if kind == "student_t":
+        scale = positive(params["raw_scale"])
+        df = jax.lax.stop_gradient(params["df"])
+        return fs + scale * jax.random.t(key, df, fs.shape, fs.dtype)
+    if kind == "poisson":
+        return jax.random.poisson(key, jnp.exp(fs), fs.shape).astype(fs.dtype)
+    if kind == "exponential":
+        return jnp.exp(fs) * jax.random.exponential(key, fs.shape, fs.dtype)
+    if kind == "gamma":
+        k = positive(params["raw_shape"])
+        g = jax.random.gamma(key, jnp.broadcast_to(k, fs.shape), dtype=fs.dtype)
+        return jnp.exp(fs) * g
+    if kind == "beta":
+        scale = positive(params["raw_scale"])
+        mu = jax.nn.sigmoid(fs)
+        return jax.random.beta(key, mu * scale, (1.0 - mu) * scale,
+                               fs.shape, fs.dtype)
+    if kind == "multiclass":
+        # argmax winner, replaced by a uniform other class w.p. eps
+        C = fs.shape[-1]
+        kr, ku, kc = jax.random.split(key, 3)
+        win = jnp.argmax(fs, axis=-1)
+        corrupt = jax.random.bernoulli(kr, ROBUSTMAX_EPS, win.shape)
+        offset = jax.random.randint(ku, win.shape, 1, C)
+        other = (win + offset) % C
+        y = jnp.where(corrupt, other, win).astype(fs.dtype)
+        del kc
+        return y[..., None]
+    raise ValueError(f"unknown likelihood {kind!r}")

@@ -32,7 +32,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from dgps_with_iwvi_tpu.data import get_classification_data, get_regression_data
+from dgps_with_iwvi_tpu.data import (get_classification_data,
+                                     get_multiclass_data, get_regression_data)
 from dgps_with_iwvi_tpu.evaluation import Database, evaluate
 from dgps_with_iwvi_tpu.models import (BuildArgs, build_model, elbo,
                                        parse_prior_flag)
@@ -64,7 +65,17 @@ def parse_args(argv=None):
     p.add_argument("--kernel", default="rbf",
                    choices=["rbf", "matern12", "matern32", "matern52"])
     p.add_argument("--likelihood", default="gaussian",
-                   choices=["gaussian", "bernoulli"])
+                   choices=["gaussian", "bernoulli", "student_t",
+                            "multiclass"],
+                   help="observation model; gaussian/student_t use the "
+                        "standardized regression loader, bernoulli/"
+                        "multiclass the label-preserving loaders. The "
+                        "count/positive/interval families (poisson, "
+                        "exponential, gamma, beta) are library-level "
+                        "(models.BuildArgs) since UCI targets are "
+                        "real-valued")
+    p.add_argument("--num_classes", type=int, default=3,
+                   help="multiclass only: number of classes C")
     p.add_argument("--pallas", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused Pallas conditional kernels (auto: currently "
@@ -147,8 +158,13 @@ def parse_args(argv=None):
 def run(args) -> dict:
     key = jax.random.PRNGKey(args.seed)
     data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
-    get_data = (get_classification_data if args.likelihood == "bernoulli"
-                else get_regression_data)
+    if args.likelihood == "bernoulli":
+        get_data = get_classification_data
+    elif args.likelihood == "multiclass":
+        data_kw["n_classes"] = args.num_classes
+        get_data = get_multiclass_data
+    else:
+        get_data = get_regression_data
     data = get_data(args.dataset, args.split, max_n=args.max_n, **data_kw)
     if data.synthetic:
         print(f"[data] {args.dataset}: no pre-staged file found -> "
@@ -163,6 +179,7 @@ def run(args) -> dict:
         kernel_kind=args.kernel,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         amortized=not args.non_amortized, likelihood=args.likelihood,
+        num_classes=args.num_classes,
         white=not args.no_white, q_diag=args.q_diag,
         priors=tuple(parse_prior_flag(s) for s in args.prior),
         var_precision=args.var_precision,
@@ -290,8 +307,10 @@ def run(args) -> dict:
         "backend": jax.default_backend(), "train_time_s": train_time,
     }
     Database(args.results_db).write_result(row)
+    acc = (f"test_accuracy={metrics['test_accuracy']:.4f} "
+           if "test_accuracy" in metrics else "")
     print(f"[result] test_loglik={metrics['test_loglik']:.4f} "
-          f"test_rmse={metrics['test_rmse']:.4f} "
+          f"test_rmse={metrics['test_rmse']:.4f} {acc}"
           f"({steps_per_sec:.1f} steps/s, {train_time:.1f}s train)")
     return row
 
