@@ -37,7 +37,10 @@ class BuildArgs:
     noise_variance_init: float = 0.05
     jitter: float = 1e-6
     use_pallas: bool | str = "auto"
-    kernel_kind: str = "rbf"    # rbf | matern12 | matern32 | matern52
+    # leaf kinds rbf | matern12/32/52 | linear | polynomial | periodic |
+    # white | constant, composable with '+'/'*' ("rbf+linear",
+    # "rbf*periodic") — ops/kernels.py parse_kind
+    kernel_kind: str = "rbf"
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): gaussian,
     # bernoulli (probit), student_t, poisson, exponential, gamma, beta,

@@ -109,9 +109,9 @@ def gp_layer_init(
             q_sqrt_scale * jnp.eye(cfg.num_inducing, dtype=dtype),
             (cfg.d_out, cfg.num_inducing, cfg.num_inducing)).copy()
     params = {
-        "kernel": kernels.rbf_params(
-            cfg.d_in, variance=kernel_variance, lengthscales=lengthscales,
-            dtype=dtype),
+        "kernel": kernels.kernel_params(
+            cfg.kernel_kind, cfg.d_in, variance=kernel_variance,
+            lengthscales=lengthscales, dtype=dtype),
         "Z": jnp.asarray(Z, dtype),
         "q_mu": jnp.zeros((cfg.num_inducing, cfg.d_out), dtype),
         "q_sqrt": q_sqrt0,

@@ -1,9 +1,14 @@
-"""Stationary GP kernels (RBF / Matern family) with ARD lengthscales.
+"""GP kernels with ARD lengthscales: RBF / Matern family, plus the wider
+gpflow kernel set (Linear, Polynomial, Periodic, White, Constant) and
+'+'/'*' combinators in the kind string.
 
-TPU-native equivalent of gpflow:gpflow/kernels.py (RBF, Matern12/32/52 with
-ARD) as referenced by ref:dgps_with_iwvi/layers.py. Pure functions over a
+TPU-native equivalent of gpflow:gpflow/kernels.py as referenced by
+ref:dgps_with_iwvi/layers.py (the reference uses RBF only; the dependency
+layer this module replaces ships the full family). Pure functions over a
 small params pytree; positive parameters are stored unconstrained (see
-ops/transforms.py).
+ops/transforms.py). active_dims slicing is intentionally not implemented —
+slice inputs at the call site instead (a static slice composes with jit
+for free).
 
 Design notes (TPU-first):
 - The squared distance uses the ||x||^2 - 2 x.y + ||y||^2 expansion so the
@@ -114,24 +119,207 @@ def _matern_from_r(r: jax.Array, order: int) -> jax.Array:
     raise ValueError(f"unsupported Matern order {order}")
 
 
-def K(params: KernelParams, X: jax.Array, X2: jax.Array | None = None,
-      *, kind: str = "rbf") -> jax.Array:
-    """Gram matrix k(X, X2): [..., N, D] x [..., M, D] -> [..., N, M]."""
-    if X2 is None:
-        X2 = X
-    ls = kernel_lengthscales(params)
-    var = kernel_variance(params)
-    d2 = scaled_squared_distance(X, X2, ls)
-    if kind == "rbf":
-        return var * jnp.exp(-0.5 * d2)
-    if kind in ("matern12", "matern32", "matern52"):
+# --------------------------------------------------------------------------
+# Wider kernel family (TPU-native rebuild of the rest of
+# gpflow:gpflow/kernels.py): Linear, Polynomial, Periodic, White, Constant,
+# plus '+' / '*' combinators in the kind string ("rbf+linear",
+# "rbf*periodic+constant" — '*' binds tighter, matching gpflow Sum/Product
+# trees). Leaf params keep the flat {raw_*} pytree; composites nest them as
+# {"terms": ((leaf, ...), ...)} mirroring the sum-of-products parse, so the
+# kind string (a jit static) fully determines the pytree structure.
+# --------------------------------------------------------------------------
+
+STATIONARY_KINDS = ("rbf", "matern12", "matern32", "matern52")
+LEAF_KINDS = STATIONARY_KINDS + ("linear", "polynomial", "periodic",
+                                 "white", "constant")
+
+
+def parse_kind(kind: str) -> tuple:
+    """'a*b+c' -> (('a','b'), ('c',)): sum of products of leaf kinds."""
+    terms = tuple(tuple(f.strip() for f in t.split("*"))
+                  for t in kind.split("+"))
+    for t in terms:
+        for f in t:
+            if f not in LEAF_KINDS:
+                raise ValueError(f"unknown kernel kind {f!r} in {kind!r}; "
+                                 f"leaves: {LEAF_KINDS}")
+    return terms
+
+
+def linear_params(input_dim: int, variance: float = 1.0, ard: bool = True,
+                  dtype=jnp.float32) -> KernelParams:
+    """gpflow Linear: k(x, x') = sum_d v_d x_d x'_d (per-dim ARD weights)."""
+    v = jnp.broadcast_to(jnp.asarray(variance, dtype),
+                         (input_dim,) if ard else (1,))
+    return {"raw_variance": positive_inverse(v)}
+
+
+def polynomial_params(input_dim: int, variance: float = 1.0,
+                      offset: float = 1.0, degree: float = 3.0,
+                      ard: bool = True, dtype=jnp.float32) -> KernelParams:
+    """gpflow Polynomial: (sum_d v_d x_d x'_d + offset)^degree; degree is a
+    fixed (stop-gradient) parameter per the gpflow convention."""
+    p = linear_params(input_dim, variance, ard, dtype)
+    p["raw_offset"] = positive_inverse(jnp.asarray(offset, dtype))
+    p["degree"] = jnp.asarray(degree, dtype)
+    return p
+
+
+def periodic_params(input_dim: int, variance: float = 1.0, lengthscales=1.0,
+                    period: float = 1.0, ard: bool = True,
+                    dtype=jnp.float32) -> KernelParams:
+    """gpflow Periodic (1.5.x convention):
+    k(x, x') = v exp(-0.5 sum_d sin^2(pi (x_d - x'_d) / p_d) / l_d^2)."""
+    shape = (input_dim,) if ard else (1,)
+    return {
+        "raw_variance": positive_inverse(jnp.asarray(variance, dtype)),
+        "raw_lengthscales": positive_inverse(
+            jnp.broadcast_to(jnp.asarray(lengthscales, dtype), shape)),
+        "raw_period": positive_inverse(
+            jnp.broadcast_to(jnp.asarray(period, dtype), shape)),
+    }
+
+
+def white_params(variance: float = 1.0, dtype=jnp.float32) -> KernelParams:
+    return {"raw_variance": positive_inverse(jnp.asarray(variance, dtype))}
+
+
+constant_params = white_params
+
+
+def kernel_params(kind: str, input_dim: int, variance: float = 1.0,
+                  lengthscales=1.0, ard: bool = True,
+                  dtype=jnp.float32) -> KernelParams:
+    """Generic factory: one leaf's params, or the nested composite pytree
+    whose structure mirrors parse_kind(kind)."""
+    terms = parse_kind(kind)
+    if len(terms) == 1 and len(terms[0]) == 1:
+        return _leaf_params(terms[0][0], input_dim, variance, lengthscales,
+                            ard, dtype)
+    return {"terms": tuple(
+        tuple(_leaf_params(f, input_dim, variance, lengthscales, ard, dtype)
+              for f in t)
+        for t in terms)}
+
+
+def _leaf_params(kind, input_dim, variance, lengthscales, ard, dtype):
+    if kind in STATIONARY_KINDS:
+        return rbf_params(input_dim, variance, lengthscales, ard, dtype)
+    if kind == "linear":
+        return linear_params(input_dim, variance, ard, dtype)
+    if kind == "polynomial":
+        return polynomial_params(input_dim, variance, ard=ard, dtype=dtype)
+    if kind == "periodic":
+        return periodic_params(input_dim, variance, lengthscales, ard=ard,
+                               dtype=dtype)
+    return white_params(variance, dtype)  # white | constant
+
+
+def _weighted_inner(params, X, X2):
+    """sum_d v_d x_d x'_d as ONE MXU dot (linear/polynomial cross term).
+
+    Products, no cancellation — but the gram feeds a Cholesky, so it runs
+    at the same forward precision policy as the stationary cross term.
+    """
+    from . import conditionals as _cond
+
+    v = positive(params["raw_variance"])
+    hp = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
+    bwd = (jax.lax.Precision.DEFAULT if GRAM_BWD_RELAX else hp)
+    return _cond.matmul_split_precision(
+        X * v, jnp.swapaxes(X2, -1, -2), hp, bwd)
+
+
+def _leaf_K(params, X, X2, kind: str, x_equals_x2: bool) -> jax.Array:
+    if kind in STATIONARY_KINDS:
+        ls = kernel_lengthscales(params)
+        var = kernel_variance(params)
+        d2 = scaled_squared_distance(X, X2, ls)
+        if kind == "rbf":
+            return var * jnp.exp(-0.5 * d2)
         order = {"matern12": 1, "matern32": 3, "matern52": 5}[kind]
         r = jnp.sqrt(jnp.maximum(d2, 1e-36))
         return var * _matern_from_r(r, order)
+    if kind == "linear":
+        return _weighted_inner(params, X, X2)
+    if kind == "polynomial":
+        inner = _weighted_inner(params, X, X2) + positive(params["raw_offset"])
+        return inner ** jax.lax.stop_gradient(params["degree"])
+    if kind == "periodic":
+        # pairwise per-dim differences ([..., N, M, D]) — no MXU form
+        # exists for sin^2 distances; fine at layer shapes (D small), but
+        # this materializes N*M*D and is NOT the kernel to use at the
+        # K*S*B serving extreme.
+        ls = kernel_lengthscales(params)
+        per = positive(params["raw_period"])
+        var = kernel_variance(params)
+        diff = X[..., :, None, :] - X2[..., None, :, :]
+        s = jnp.sin(jnp.pi * diff / per) / ls
+        return var * jnp.exp(-0.5 * jnp.sum(jnp.square(s), axis=-1))
+    if kind == "white":
+        # sigma^2 I when evaluated on one set (Kuu); zero cross-covariance
+        # otherwise (gpflow White semantics)
+        var = kernel_variance(params)
+        n, m = X.shape[-2], X2.shape[-2]
+        if x_equals_x2 and n == m:
+            eye = jnp.eye(n, dtype=X.dtype)
+            return jnp.broadcast_to(var * eye, X.shape[:-2] + (n, n))
+        return jnp.zeros(jnp.broadcast_shapes(X.shape[:-2], X2.shape[:-2])
+                         + (n, m), X.dtype)
+    if kind == "constant":
+        var = kernel_variance(params)
+        n, m = X.shape[-2], X2.shape[-2]
+        return jnp.broadcast_to(
+            var, jnp.broadcast_shapes(X.shape[:-2], X2.shape[:-2]) + (n, m))
     raise ValueError(f"unknown kernel kind {kind!r}")
 
 
+def _leaf_Kdiag(params, X, kind: str) -> jax.Array:
+    if kind in STATIONARY_KINDS + ("white", "constant", "periodic"):
+        return jnp.broadcast_to(kernel_variance(params), X.shape[:-1])
+    v = positive(params["raw_variance"])
+    inner = jnp.sum(v * jnp.square(X), axis=-1)
+    if kind == "linear":
+        return inner
+    if kind == "polynomial":
+        return (inner + positive(params["raw_offset"])) \
+            ** jax.lax.stop_gradient(params["degree"])
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
+def K(params: KernelParams, X: jax.Array, X2: jax.Array | None = None,
+      *, kind: str = "rbf") -> jax.Array:
+    """Gram matrix k(X, X2): [..., N, D] x [..., M, D] -> [..., N, M].
+
+    kind may be a composite sum-of-products string (parse_kind); params must
+    then carry the matching {"terms": ...} structure (kernel_params)."""
+    # same-set detection (white kernel): X2 omitted, or literally the same
+    # traced array object (call sites write K(p, Z, Z))
+    same = X2 is None or X2 is X
+    if X2 is None:
+        X2 = X
+    terms = parse_kind(kind)
+    if len(terms) == 1 and len(terms[0]) == 1:
+        return _leaf_K(params, X, X2, terms[0][0], same)
+    out = None
+    for tp, factors in zip(params["terms"], terms):
+        prod = _leaf_K(tp[0], X, X2, factors[0], same)
+        for fp, fk in zip(tp[1:], factors[1:]):
+            prod = prod * _leaf_K(fp, X, X2, fk, same)
+        out = prod if out is None else out + prod
+    return out
+
+
 def Kdiag(params: KernelParams, X: jax.Array, *, kind: str = "rbf") -> jax.Array:
-    """diag k(X, X): [..., N, D] -> [..., N]. Stationary => variance * 1."""
-    del kind  # all supported kernels are stationary
-    return jnp.broadcast_to(kernel_variance(params), X.shape[:-1])
+    """diag k(X, X): [..., N, D] -> [..., N]."""
+    terms = parse_kind(kind)
+    if len(terms) == 1 and len(terms[0]) == 1:
+        return _leaf_Kdiag(params, X, terms[0][0])
+    out = None
+    for tp, factors in zip(params["terms"], terms):
+        prod = _leaf_Kdiag(tp[0], X, factors[0])
+        for fp, fk in zip(tp[1:], factors[1:]):
+            prod = prod * _leaf_Kdiag(fp, X, fk)
+        out = prod if out is None else out + prod
+    return out

@@ -32,11 +32,20 @@ def hyperparameter_scalars(rest, config, tc=None, step=None) -> dict:
         if not isinstance(cfg, GPLayerConfig):
             continue
         kp = rest["layers"][i]["kernel"]
-        ls = kernels.kernel_lengthscales(kp)
-        out[f"hypers/layer{i}/kernel_variance"] = kernels.kernel_variance(kp)
-        out[f"hypers/layer{i}/lengthscale_mean"] = jnp.mean(ls)
-        out[f"hypers/layer{i}/lengthscale_min"] = jnp.min(ls)
-        out[f"hypers/layer{i}/lengthscale_max"] = jnp.max(ls)
+        # composite kernels nest leaf pytrees under "terms"; log the first
+        # leaf's scalars (the full pytree is in the checkpoint regardless),
+        # and skip keys a leaf family doesn't have (linear has no
+        # lengthscales, composites no top-level variance)
+        if "terms" in kp:
+            kp = kp["terms"][0][0]
+        if "raw_variance" in kp:
+            out[f"hypers/layer{i}/kernel_variance"] = \
+                kernels.kernel_variance(kp)
+        if "raw_lengthscales" in kp:
+            ls = kernels.kernel_lengthscales(kp)
+            out[f"hypers/layer{i}/lengthscale_mean"] = jnp.mean(ls)
+            out[f"hypers/layer{i}/lengthscale_min"] = jnp.min(ls)
+            out[f"hypers/layer{i}/lengthscale_max"] = jnp.max(ls)
     if config.likelihood == "gaussian":
         out["hypers/likelihood_noise_variance"] = likelihoods.noise_variance(
             rest["likelihood"])

@@ -63,7 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--schedule", default="joint", choices=["joint", "alternating"])
     p.add_argument("--d_w", type=int, default=1, help="latent dim per LV layer")
     p.add_argument("--kernel", default="rbf",
-                   choices=["rbf", "matern12", "matern32", "matern52"])
+                   help="leaf kinds rbf|matern12|matern32|matern52|linear|"
+                        "polynomial|periodic|white|constant, composable "
+                        "with '+'/'*' (e.g. 'rbf+linear', 'rbf*periodic')")
     p.add_argument("--likelihood", default="gaussian",
                    choices=["gaussian", "bernoulli", "student_t",
                             "multiclass"],

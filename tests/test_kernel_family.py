@@ -1,0 +1,198 @@
+"""Wider kernel family (Linear / Polynomial / Periodic / White / Constant
++ sum/product combinators).
+
+Parity strategy mirrors gpflow's test_kerns for the kernel set the
+dependency layer ships (gpflow:gpflow/kernels.py): every leaf gram is
+checked against a dense numpy closed form, composites against the
+sum/product of their leaves, Kdiag against diag(K) (the non-stationary
+kinds make this a real test), PSD via jittered Cholesky, then an
+end-to-end DGP run on a composite kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgps_with_iwvi_tpu.models import (BuildArgs, DGPConfig, GPLayerConfig,
+                                       build_model, elbo, init_dgp,
+                                       predict_y)
+from dgps_with_iwvi_tpu.ops import kernels
+from dgps_with_iwvi_tpu.ops.linalg import cholesky_with_jitter
+from dgps_with_iwvi_tpu.training import TrainConfig, fit
+
+KEY = jax.random.PRNGKey(0)
+RNG = np.random.RandomState(0)
+N, M, D = 13, 9, 4
+X = jnp.asarray(RNG.randn(N, D))
+X2 = jnp.asarray(RNG.randn(M, D))
+
+ALL_LEAVES = list(kernels.LEAF_KINDS)
+COMPOSITES = ["rbf+linear", "rbf*periodic", "rbf*linear+constant",
+              "matern32+white", "linear+polynomial+constant"]
+
+
+def leaf_reference(params, x, x2, kind, same):
+    """Dense numpy closed form per leaf (float64)."""
+    x, x2 = np.asarray(x), np.asarray(x2)
+    pos = lambda r: 1e-6 + np.log1p(np.exp(np.asarray(r)))
+    if kind in kernels.STATIONARY_KINDS:
+        ls = pos(params["raw_lengthscales"])
+        v = pos(params["raw_variance"])
+        d2 = ((x[:, None, :] / ls - x2[None, :, :] / ls) ** 2).sum(-1)
+        r = np.sqrt(np.maximum(d2, 0))
+        if kind == "rbf":
+            return v * np.exp(-0.5 * d2)
+        if kind == "matern12":
+            return v * np.exp(-r)
+        if kind == "matern32":
+            s = np.sqrt(3.0) * r
+            return v * (1 + s) * np.exp(-s)
+        s = np.sqrt(5.0) * r
+        return v * (1 + s + 5.0 / 3.0 * d2) * np.exp(-s)
+    if kind == "linear":
+        v = pos(params["raw_variance"])
+        return (x * v) @ x2.T
+    if kind == "polynomial":
+        v = pos(params["raw_variance"])
+        off = pos(params["raw_offset"])
+        deg = float(params["degree"])
+        return ((x * v) @ x2.T + off) ** deg
+    if kind == "periodic":
+        v = pos(params["raw_variance"])
+        ls = pos(params["raw_lengthscales"])
+        per = pos(params["raw_period"])
+        diff = x[:, None, :] - x2[None, :, :]
+        s = np.sin(np.pi * diff / per) / ls
+        return v * np.exp(-0.5 * (s ** 2).sum(-1))
+    if kind == "white":
+        v = pos(params["raw_variance"])
+        return v * np.eye(x.shape[0]) if same else \
+            np.zeros((x.shape[0], x2.shape[0]))
+    v = pos(params["raw_variance"])
+    return v * np.ones((x.shape[0], x2.shape[0]))
+
+
+def composite_reference(params, x, x2, kind, same):
+    terms = kernels.parse_kind(kind)
+    if len(terms) == 1 and len(terms[0]) == 1:
+        return leaf_reference(params, x, x2, terms[0][0], same)
+    out = 0.0
+    for tp, factors in zip(params["terms"], terms):
+        prod = leaf_reference(tp[0], x, x2, factors[0], same)
+        for fp, fk in zip(tp[1:], factors[1:]):
+            prod = prod * leaf_reference(fp, x, x2, fk, same)
+        out = out + prod
+    return out
+
+
+def _params(kind):
+    # non-unit values so parity is not trivially satisfied
+    return kernels.kernel_params(kind, D, variance=1.7, lengthscales=0.8,
+                                 dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("kind", ALL_LEAVES + COMPOSITES)
+class TestGramParity:
+    def test_cross_gram(self, kind):
+        p = _params(kind)
+        got = np.asarray(kernels.K(p, X, X2, kind=kind))
+        want = composite_reference(p, X, X2, kind, same=False)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_same_set_gram_and_kdiag(self, kind):
+        p = _params(kind)
+        got = np.asarray(kernels.K(p, X, X, kind=kind))   # X is X -> same
+        want = composite_reference(p, X, X, kind, same=True)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+        # Kdiag must equal diag(K(X, X)) INCLUDING the white kernel's
+        # same-set variance and the non-stationary kinds' x-dependence
+        kd = np.asarray(kernels.Kdiag(p, X, kind=kind))
+        np.testing.assert_allclose(kd, np.diag(want), rtol=1e-10, atol=1e-12)
+
+    def test_psd_and_chol(self, kind):
+        """Kuu + jitter factorizes: every kind is usable as a layer
+        kernel."""
+        p = _params(kind)
+        Kuu = kernels.K(p, X, X, kind=kind)
+        L = cholesky_with_jitter(Kuu, 1e-6)
+        assert np.all(np.isfinite(np.asarray(L)))
+        assert np.all(np.diag(np.asarray(L)) > 0)
+
+    def test_param_gradients_finite(self, kind):
+        p = _params(kind)
+        g = jax.grad(lambda q: jnp.sum(kernels.K(q, X, X2, kind=kind)))(p)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_broadcasts_leading_axes(self, kind):
+        """Sample axes flow through as batch dims (the S/K convention)."""
+        p = _params(kind)
+        Xb = jnp.broadcast_to(X, (3, N, D))
+        got = np.asarray(kernels.K(p, Xb, X2, kind=kind))
+        assert got.shape == (3, N, M)
+        np.testing.assert_allclose(
+            got[1], composite_reference(p, X, X2, kind, same=False),
+            rtol=1e-10, atol=1e-12)
+
+
+class TestEndToEnd:
+    def test_composite_kernel_dgp_trains(self):
+        n, d = 120, 2
+        Xr = jnp.asarray(RNG.randn(n, d))
+        Yr = (0.8 * Xr[:, :1] + jnp.sin(3.0 * Xr[:, 1:2])
+              + 0.1 * jnp.asarray(RNG.randn(n, 1)))
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=d, d_out=1, num_inducing=16,
+                                  kernel_kind="rbf+linear",
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        before = float(elbo(params, cfg, Xr, Yr, KEY))
+        tc = TrainConfig(lr=5e-2, natgrad="none", minibatch_size=n,
+                         iterations=200, steps_per_call=100)
+        trained, _ = fit(KEY, cfg, params, Xr, Yr, tc)
+        after = float(elbo(trained, cfg, Xr, Yr, KEY))
+        assert after > before + 10.0, (before, after)
+        m, _ = predict_y(trained, cfg, Xr, jax.random.PRNGKey(1), 16)
+        rmse = float(jnp.sqrt(jnp.mean((m - Yr) ** 2)))
+        assert rmse < 0.5, rmse
+
+    def test_builder_accepts_composite_kind(self):
+        Xr = jnp.asarray(RNG.randn(80, 3))
+        Yr = jnp.asarray(RNG.randn(80, 1))
+        cfg, params = build_model(
+            KEY, BuildArgs(configuration="G", kernel_kind="rbf*periodic",
+                           num_inducing=8), Xr, Yr)
+        v = float(elbo(params, cfg, Xr, Yr, KEY))
+        assert np.isfinite(v)
+        assert "terms" in params["layers"][0]["kernel"]
+
+    def test_periodic_fits_sinusoid_better_than_linear(self):
+        """Sanity that the periodic structure is real, not just PSD: a pure
+        sinusoid is captured by periodic where linear cannot.
+
+        gamma=5e-3, not the 1e-2 default: a periodic kernel makes inducing
+        points one period apart PERFECTLY correlated, so Kuu is near
+        singular and the whitened natgrad step is gamma-sensitive (the
+        known too-large-gamma failure class — the skip-on-failure guard
+        keeps training alive but stuck). Measured here: gamma 1e-2 stalls
+        at RMSE ~0.7, 5e-3 converges to 1e-3."""
+        n = 100
+        Xr = jnp.linspace(-2.0, 2.0, n, dtype=jnp.float64)[:, None]
+        Yr = jnp.sin(2.0 * jnp.pi * Xr)
+        res = {}
+        for kind in ("periodic", "linear"):
+            cfg = DGPConfig(
+                layers=(GPLayerConfig(d_in=1, d_out=1, num_inducing=16,
+                                      kernel_kind=kind,
+                                      mean_function="zero", final=True),),
+                num_data=n, objective="vi")
+            params = init_dgp(KEY, cfg, dtype=jnp.float64)
+            tc = TrainConfig(lr=5e-2, gamma=5e-3, natgrad="final",
+                             minibatch_size=n, iterations=1000,
+                             steps_per_call=100)
+            trained, _ = fit(KEY, cfg, params, Xr, Yr, tc)
+            m, _ = predict_y(trained, cfg, Xr, jax.random.PRNGKey(1), 16)
+            res[kind] = float(jnp.sqrt(jnp.mean((m - Yr) ** 2)))
+        assert res["periodic"] < 0.1 < res["linear"], res
