@@ -243,6 +243,27 @@ def get_regression_data(
         split=split, synthetic=synthetic)
 
 
+def _label_split_dataset(name, X, Y, synthetic, split, prop, dtype) -> Dataset:
+    """Shared tail of the label-preserving loaders: seeded split,
+    X-standardization by train stats (with the zero-variance floor), labels
+    passed through untouched (Y_mean = 0, Y_std = 1 so no un-normalization
+    ever applies)."""
+    N = X.shape[0]
+    perm = np.random.RandomState(split).permutation(N)
+    n_train = int(prop * N)
+    tr, te = perm[:n_train], perm[n_train:]
+    X_mean, X_std = X[tr].mean(0), X[tr].std(0)
+    X_std = np.where(X_std <= 1e-10, 1.0, X_std)
+    ones = np.ones(Y.shape[1])
+    std = lambda A: ((A - X_mean) / X_std).astype(dtype)
+    return Dataset(
+        name=name,
+        X_train=std(X[tr]), Y_train=Y[tr].astype(dtype),
+        X_test=std(X[te]), Y_test=Y[te].astype(dtype),
+        X_mean=X_mean, X_std=X_std, Y_mean=0.0 * ones, Y_std=ones,
+        split=split, synthetic=synthetic)
+
+
 def get_classification_data(
     name: str,
     split: int = 0,
@@ -261,20 +282,7 @@ def get_classification_data(
     assert set(np.unique(Y)) <= {0.0, 1.0}, "labels must be binary {0,1}"
     if max_n is not None and X.shape[0] > max_n:
         X, Y = X[:max_n], Y[:max_n]
-    N = X.shape[0]
-    perm = np.random.RandomState(split).permutation(N)
-    n_train = int(prop * N)
-    tr, te = perm[:n_train], perm[n_train:]
-    X_mean, X_std = X[tr].mean(0), X[tr].std(0)
-    X_std = np.where(X_std <= 1e-10, 1.0, X_std)
-    ones = np.ones(Y.shape[1])
-    std = lambda A: ((A - X_mean) / X_std).astype(dtype)
-    return Dataset(
-        name=name,
-        X_train=std(X[tr]), Y_train=Y[tr].astype(dtype),
-        X_test=std(X[te]), Y_test=Y[te].astype(dtype),
-        X_mean=X_mean, X_std=X_std, Y_mean=0.0 * ones, Y_std=ones,
-        split=split, synthetic=synthetic)
+    return _label_split_dataset(name, X, Y, synthetic, split, prop, dtype)
 
 
 def get_multiclass_data(
@@ -301,17 +309,4 @@ def get_multiclass_data(
         f"labels {labels} must be integers in [0, {n_classes})"
     if max_n is not None and X.shape[0] > max_n:
         X, Y = X[:max_n], Y[:max_n]
-    N = X.shape[0]
-    perm = np.random.RandomState(split).permutation(N)
-    n_train = int(prop * N)
-    tr, te = perm[:n_train], perm[n_train:]
-    X_mean, X_std = X[tr].mean(0), X[tr].std(0)
-    X_std = np.where(X_std <= 1e-10, 1.0, X_std)
-    ones = np.ones(Y.shape[1])
-    std = lambda A: ((A - X_mean) / X_std).astype(dtype)
-    return Dataset(
-        name=name,
-        X_train=std(X[tr]), Y_train=Y[tr].astype(dtype),
-        X_test=std(X[te]), Y_test=Y[te].astype(dtype),
-        X_mean=X_mean, X_std=X_std, Y_mean=0.0 * ones, Y_std=ones,
-        split=split, synthetic=synthetic)
+    return _label_split_dataset(name, X, Y, synthetic, split, prop, dtype)

@@ -56,10 +56,12 @@ def evaluate(
     test_loglik is the mean per-point mixture log-density in ORIGINAL units;
     test_rmse the root-mean-square error of the mixture mean, original units.
 
-    Non-Gaussian likelihoods train on un-standardized labels, so model units
-    are original units and no un-normalization applies; 'bernoulli' and
-    'multiclass' additionally report test_accuracy (mixture p > 0.5 /
-    argmax over mixture class probabilities).
+    'gaussian' and 'student_t' train on standardized labels and get the
+    same un-normalization (rmse * y_std, loglik - sum log y_std). The other
+    families train on un-standardized labels, so model units are original
+    units and no un-normalization applies; 'bernoulli' and 'multiclass'
+    additionally report test_accuracy (mixture p > 0.5 / argmax over
+    mixture class probabilities).
 
     mesh: optional jax.sharding.Mesh — shards test ROWS over every mesh
     device (params replicated) and lets GSPMD partition the one-propagate
@@ -106,17 +108,15 @@ def evaluate(
         # keep results on device: dispatch stays async (batches pipeline)
         # and the single device_get below overlaps all the host copies —
         # a per-batch np.asarray here costs one ~30 ms tunnel round trip
-        # EACH and serializes the whole eval loop
-        outs.append((pad, ld, mean, yb))
+        # EACH and serializes the whole eval loop. Labels stay host-side
+        # (the caller's Y_test already holds them).
+        outs.append((pad, ld, mean))
 
-    fetched = jax.device_get([(ld, mean, yb) for _, ld, mean, yb in outs])
-    lds, mean_chunks, y_chunks = [], [], []
-    for (pad, _, _, _), (ld, mean, yb) in zip(outs, fetched):
-        lds.append(ld[:bs - pad])
-        mean_chunks.append(mean[:bs - pad])
-        y_chunks.append(yb[:bs - pad])
-    means = np.concatenate(mean_chunks)                 # [n, d_out]
-    ys = np.concatenate(y_chunks)                       # [n, d_y]
+    fetched = jax.device_get([(ld, mean) for _, ld, mean in outs])
+    lds = [ld[:bs - pad] for (pad, _, _), (ld, _) in zip(outs, fetched)]
+    means = np.concatenate(
+        [mean[:bs - pad] for (pad, _, _), (_, mean) in zip(outs, fetched)])
+    ys = np.asarray(Y_test)                             # [n, d_y], host copy
     ld_norm = float(np.concatenate(lds).mean())
     if likelihood == "multiclass":
         # means holds mixture class probabilities [n, C]; ys integer labels
@@ -130,9 +130,9 @@ def evaluate(
         }
     errs = means - ys                                   # in model units
     rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
-    if likelihood != "gaussian":
-        # non-Gaussian observation families train on UN-standardized labels
-        # (counts, positives, {0,1}, [0,1]) — model units ARE original units
+    if likelihood not in ("gaussian", "student_t"):
+        # the remaining families train on UN-standardized labels (counts,
+        # positives, {0,1}, [0,1]) — model units ARE original units
         out = {
             "test_loglik": ld_norm,
             "test_rmse": rmse_norm,
@@ -144,6 +144,9 @@ def evaluate(
             out["test_accuracy"] = float(
                 np.mean(np.all(np.abs(errs) < 0.5, axis=-1)))
         return out
+    # gaussian AND student_t train on standardized labels (both are
+    # identity-link location-scale families fed by get_regression_data), so
+    # both un-normalize: rmse scales by y_std, loglik shifts by -sum log y_std
     y_std = np.asarray(y_std).reshape(1, -1)
     rmse_orig = float(np.sqrt(np.mean(np.sum((errs * y_std) ** 2, -1))))
     log_sigma = float(np.sum(np.log(y_std)))            # per-dim sum

@@ -47,7 +47,11 @@ class BuildArgs:
     # multiclass (robust-max; Y holds integer labels in one column and the
     # final GP layer gets num_classes outputs)
     likelihood: str = "gaussian"
-    num_classes: int = 2        # multiclass only: C = final-layer width
+    # multiclass only: C = final-layer width. Default matches the CLI's
+    # --num_classes default (3) so a library user who sets
+    # likelihood='multiclass' without num_classes gets the same model the
+    # CLI would build on the 3-class synthetic surrogate.
+    num_classes: int = 3
     jitter_tries: int = 4
     white: bool = True          # whitened parameterization (reference default)
     q_diag: bool = False        # diagonal q(u) covariance; works with both

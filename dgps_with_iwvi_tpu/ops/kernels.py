@@ -289,14 +289,19 @@ def _leaf_Kdiag(params, X, kind: str) -> jax.Array:
 
 
 def K(params: KernelParams, X: jax.Array, X2: jax.Array | None = None,
-      *, kind: str = "rbf") -> jax.Array:
+      *, kind: str = "rbf", same_set: bool | None = None) -> jax.Array:
     """Gram matrix k(X, X2): [..., N, D] x [..., M, D] -> [..., N, M].
 
     kind may be a composite sum-of-products string (parse_kind); params must
-    then carry the matching {"terms": ...} structure (kernel_params)."""
-    # same-set detection (white kernel): X2 omitted, or literally the same
-    # traced array object (call sites write K(p, Z, Z))
-    same = X2 is None or X2 is X
+    then carry the matching {"terms": ...} structure (kernel_params).
+
+    White-kernel caveat: k_white(X, X2) is var*I only when X and X2 are THE
+    SAME set, else 0 (gpflow White semantics). Same-set detection is
+    X2-omitted or object identity (call sites write K(p, Z, Z)); two
+    numerically equal but DISTINCT arrays count as different sets — pass
+    same_set=True explicitly if that is not what you mean. Only 'white'
+    terms are affected; every other kind is identity-insensitive."""
+    same = same_set if same_set is not None else (X2 is None or X2 is X)
     if X2 is None:
         X2 = X
     terms = parse_kind(kind)

@@ -219,11 +219,14 @@ def student_t_variational_expectations(params, mean, var, y,
 
 
 def student_t_predict_mean_and_var(params, fmean, fvar):
-    """Var(y|f) = scale^2 df/(df-2) (finite for df > 2; inf otherwise,
-    matching the true moments)."""
+    """Var(y|f) = scale^2 df/(df-2) for df > 2; the true second moment does
+    not exist at df <= 2 (Cauchy-like tails), so the variance is reported
+    as +inf there rather than letting the formula go negative."""
     scale = positive(params["raw_scale"])
     df = jax.lax.stop_gradient(params["df"])
-    cond_var = jnp.square(scale) * df / (df - 2.0)
+    cond_var = jnp.where(df > 2.0,
+                         jnp.square(scale) * df / jnp.maximum(df - 2.0, 1e-12),
+                         jnp.inf)
     return fmean, fvar + cond_var
 
 
@@ -428,9 +431,17 @@ def _robustmax_p_win(mean, var, onehot, n_points):
 
 
 def _class_onehot(y, num_classes, dtype):
-    """[..., 1] float class column -> [..., C] one-hot."""
-    return jax.nn.one_hot(y[..., 0].astype(jnp.int32), num_classes,
-                          dtype=dtype)
+    """[..., 1] float class column -> [..., C] one-hot.
+
+    Labels are clipped into [0, C-1]: an out-of-range label would one-hot
+    to ALL-ZEROS, which silently corrupts _robustmax_p_win (m_c = sd_c = 0
+    with no j==c mask) while keeping the loss finite. Clipping keeps the
+    math well-formed; label-range validation belongs at ingest
+    (data/datasets.py get_multiclass_data asserts it) — inside jit a data-
+    dependent raise is not expressible.
+    """
+    idx = jnp.clip(y[..., 0].astype(jnp.int32), 0, num_classes - 1)
+    return jax.nn.one_hot(idx, num_classes, dtype=dtype)
 
 
 def multiclass_variational_expectations(params, mean, var, y,

@@ -39,8 +39,10 @@ def hyperparameter_scalars(rest, config, tc=None, step=None) -> dict:
         if "terms" in kp:
             kp = kp["terms"][0][0]
         if "raw_variance" in kp:
-            out[f"hypers/layer{i}/kernel_variance"] = \
-                kernels.kernel_variance(kp)
+            # linear/polynomial store PER-DIM ARD variance weights; reduce
+            # to the mean so the float() conversion below stays scalar
+            out[f"hypers/layer{i}/kernel_variance"] = jnp.mean(
+                kernels.kernel_variance(kp))
         if "raw_lengthscales" in kp:
             ls = kernels.kernel_lengthscales(kp)
             out[f"hypers/layer{i}/lengthscale_mean"] = jnp.mean(ls)

@@ -267,6 +267,32 @@ class TestEndToEnd:
         assert 0.0 <= m["test_accuracy"] <= 1.0
         assert np.isfinite(m["test_loglik"])
 
+    def test_student_t_evaluate_unnormalizes_like_gaussian(self):
+        """student_t trains on STANDARDIZED labels (get_regression_data),
+        so evaluate must apply the same y_std un-normalization as gaussian —
+        regression for a review finding where it took the raw-units branch
+        and reported rmse ~y_std-times too small."""
+        from dgps_with_iwvi_tpu.evaluation import evaluate
+
+        n, d = 40, 2
+        X = jax.random.normal(jax.random.PRNGKey(11), (n, d), jnp.float64)
+        Y = jax.random.normal(jax.random.PRNGKey(12), (n, 1), jnp.float64)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=d, d_out=1, num_inducing=8,
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi", likelihood="student_t")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        params["likelihood"] = likelihoods.student_t_params(
+            1.0, 4.0, jnp.float64)
+        y_std = np.array([2.0])
+        m = evaluate(params, cfg, X, Y, KEY, y_std=y_std, num_samples=8,
+                     batch_size=32, likelihood="student_t")
+        np.testing.assert_allclose(
+            m["test_loglik"], m["test_loglik_normalized"] - np.log(2.0),
+            rtol=1e-10)
+        np.testing.assert_allclose(
+            m["test_rmse"], m["test_rmse_normalized"] * 2.0, rtol=1e-10)
+
     def test_student_t_iw_equals_vi_at_k1(self):
         """The K=1 IW bound == VI bound holds for quadrature likelihoods
         too (same key, no LV layers: exact identity)."""
