@@ -143,6 +143,11 @@ def evaluate(
             # means = mixture p(y=1): |p - y| < 0.5 <=> correct prediction
             out["test_accuracy"] = float(
                 np.mean(np.all(np.abs(errs) < 0.5, axis=-1)))
+        elif likelihood == "ordinal":
+            # means = label-distribution mean; nearest integer label is the
+            # point prediction (labels are ordered, so rounding is natural)
+            out["test_accuracy"] = float(
+                np.mean(np.round(means[:, 0]) == ys[:, 0]))
         return out
     # gaussian AND student_t train on standardized labels (both are
     # identity-link location-scale families fed by get_regression_data), so

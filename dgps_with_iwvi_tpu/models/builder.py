@@ -37,22 +37,30 @@ class BuildArgs:
     noise_variance_init: float = 0.05
     jitter: float = 1e-6
     use_pallas: bool | str = "auto"
-    # leaf kinds rbf | matern12/32/52 | linear | polynomial | periodic |
-    # white | constant, composable with '+'/'*' ("rbf+linear",
-    # "rbf*periodic") — ops/kernels.py parse_kind
+    # leaf kinds rbf | matern12/32/52 | rq | cosine | arccosine[0|2] |
+    # linear | polynomial | periodic | white | constant, composable with
+    # '+'/'*' ("rbf+linear", "rbf*periodic") — ops/kernels.py parse_kind
     kernel_kind: str = "rbf"
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): gaussian,
     # bernoulli (probit), student_t, poisson, exponential, gamma, beta,
     # multiclass (robust-max; Y holds integer labels in one column and the
-    # final GP layer gets num_classes outputs)
+    # final GP layer gets num_classes outputs), ordinal (probit bins; Y
+    # holds integer labels, final layer keeps ONE output)
     likelihood: str = "gaussian"
-    # multiclass only: C = final-layer width. Default matches the CLI's
-    # --num_classes default (3) so a library user who sets
-    # likelihood='multiclass' without num_classes gets the same model the
-    # CLI would build on the 3-class synthetic surrogate.
+    # multiclass/ordinal only: number of classes C (multiclass: final-layer
+    # width; ordinal: C-1 probit bin edges). Default matches the CLI's
+    # --num_classes default (3) so a library user who sets the likelihood
+    # without num_classes gets the same model the CLI would build on the
+    # 3-class synthetic surrogate.
     num_classes: int = 3
     jitter_tries: int = 4
+    # GP-layer mean function: 'auto' (reference convention — Zero on the
+    # final layer, fixed identity/truncated-identity skip between inner
+    # layers), or force 'zero' | 'skip' | 'constant' (trainable bias) |
+    # 'linear' (trainable Linear(A, b)) on every GP layer
+    # (gpflow:gpflow/mean_functions.py)
+    mean_function: str = "auto"
     white: bool = True          # whitened parameterization (reference default)
     q_diag: bool = False        # diagonal q(u) covariance; works with both
                                 # Adam and the elementwise natgrad family
@@ -166,6 +174,8 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
     if args.likelihood == "multiclass":
         assert d_y == 1, "multiclass expects integer labels in one Y column"
         d_out_final = args.num_classes
+    elif args.likelihood == "ordinal":
+        assert d_y == 1, "ordinal expects integer labels in one Y column"
     inner_dim = min(d_x, args.inner_dim_cap)
     layer_cfgs: list = []
     width = d_x
@@ -187,7 +197,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
             layer_cfgs.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=args.num_inducing,
                 kernel_kind=args.kernel_kind, final=final, white=args.white,
-                q_diag=args.q_diag))
+                q_diag=args.q_diag, mean_function=args.mean_function))
             width = d_out
     return DGPConfig(
         layers=tuple(layer_cfgs),
@@ -248,7 +258,10 @@ def build_model(key: jax.Array, args: BuildArgs, X: jax.Array, Y: jax.Array):
             else:
                 Z = Zx[:, :d_in]
             Z_inits.append(Z)
+    lk_kwargs = ({"num_classes": args.num_classes}
+                 if args.likelihood == "ordinal" else None)
     params = init_dgp(
         kinit, config, Z_inits=Z_inits,
-        noise_variance=args.noise_variance_init, dtype=X.dtype)
+        noise_variance=args.noise_variance_init, dtype=X.dtype,
+        likelihood_kwargs=lk_kwargs)
     return config, params

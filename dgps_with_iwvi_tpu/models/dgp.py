@@ -117,6 +117,7 @@ def init_dgp(
     inner_q_sqrt_scale: float = 1e-5,
     noise_variance: float = 0.05,
     dtype=jnp.float32,
+    likelihood_kwargs: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
     """Full model parameter pytree.
 
@@ -140,7 +141,8 @@ def init_dgp(
     return {
         "layers": layer_params,
         "likelihood": likelihoods.init_params(
-            config.likelihood, noise_variance, dtype=dtype),
+            config.likelihood, noise_variance, dtype=dtype,
+            **(likelihood_kwargs or {})),
     }
 
 
@@ -354,11 +356,17 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
             Kuf, Lm, Kff, fp["q_mu"], q_sqrt, white=fcfg.white)
         from .layers import resolved_mean_function
 
-        if resolved_mean_function(fcfg) == "skip":
+        mf_kind = resolved_mean_function(fcfg)
+        if mf_kind == "skip":
             W = fp.get("mean_W")
             if W is not None:
                 W = jax.lax.stop_gradient(W)
             return out.mean + _mf.apply_mean_function(Fs, W), out.var
+        if mf_kind == "linear":
+            return (out.mean + _mf.linear_mean(Fs, fp["mean_W"])
+                    + fp["mean_b"], out.var)
+        if mf_kind == "constant":
+            return out.mean + fp["mean_b"], out.var
         return out.mean, out.var
 
     return jax.vmap(per_sample)(F)  # ([S, N, d_y], [S, d_y, N, N])

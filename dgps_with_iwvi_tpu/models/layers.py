@@ -50,6 +50,11 @@ class GPLayerConfig:
     # fix: built models previously gave the final layer a fixed skip
     # projection of the last hidden features, off-spec — it let the final
     # GP go dead under the IW objective, see benchmarks/IW_VS_VI.md.)
+    # The dependency layer's TRAINABLE mean functions
+    # (gpflow:gpflow/mean_functions.py Constant / Linear(A, b)) are also
+    # available: 'constant' (trainable bias) and 'linear' (trainable
+    # identity-initialized W plus bias), both optimized by Adam alongside
+    # the hyperparameters.
     mean_function: str = "auto"
     final: bool = False  # final layers return (mean, var) instead of samples
     white: bool = True   # whitened q(v), u = Lm v (reference default)
@@ -116,9 +121,17 @@ def gp_layer_init(
         "q_mu": jnp.zeros((cfg.num_inducing, cfg.d_out), dtype),
         "q_sqrt": q_sqrt0,
     }
-    W = mean_functions.skip_projection(cfg.d_in, cfg.d_out, dtype)
-    if resolved_mean_function(cfg) == "skip" and W is not None:
-        params["mean_W"] = W  # fixed; stop_gradient applied in propagate
+    mf = resolved_mean_function(cfg)
+    assert mf in ("zero", "skip", "linear", "constant"), mf
+    if mf == "skip":
+        W = mean_functions.skip_projection(cfg.d_in, cfg.d_out, dtype)
+        if W is not None:
+            params["mean_W"] = W  # fixed; stop_gradient applied in propagate
+    elif mf == "linear":  # trainable Linear(A, b), identity-initialized
+        params["mean_W"] = jnp.eye(cfg.d_in, cfg.d_out, dtype=dtype)
+        params["mean_b"] = jnp.zeros((cfg.d_out,), dtype)
+    elif mf == "constant":  # trainable Constant(b)
+        params["mean_b"] = jnp.zeros((cfg.d_out,), dtype)
     return params
 
 
@@ -211,11 +224,19 @@ def gp_layer_propagate(
             jitter_tries=jitter_tries, white=cfg.white,
             var_precision=var_precision, solve_precision=solve_precision,
             Lm=Lm, Linv=Linv, q_S=q_cov)
-    if resolved_mean_function(cfg) == "skip":
+    mf_kind = resolved_mean_function(cfg)
+    if mf_kind == "skip":
         W = params.get("mean_W")
         if W is not None:
             W = jax.lax.stop_gradient(W)
         mf = mean_functions.apply_mean_function(F, W)
+        mean = out.mean + mf
+    elif mf_kind == "linear":  # trainable: no stop_gradient
+        mf = mean_functions.linear_mean(F, params["mean_W"]) \
+            + params["mean_b"]
+        mean = out.mean + mf
+    elif mf_kind == "constant":
+        mf = params["mean_b"]
         mean = out.mean + mf
     else:
         mf = 0.0

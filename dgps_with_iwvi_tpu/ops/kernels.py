@@ -1,6 +1,7 @@
 """GP kernels with ARD lengthscales: RBF / Matern family, plus the wider
-gpflow kernel set (Linear, Polynomial, Periodic, White, Constant) and
-'+'/'*' combinators in the kind string.
+gpflow kernel set (RationalQuadratic, Cosine, ArcCosine orders 0/1/2,
+Linear, Polynomial, Periodic, White, Constant) and '+'/'*' combinators in
+the kind string.
 
 TPU-native equivalent of gpflow:gpflow/kernels.py as referenced by
 ref:dgps_with_iwvi/layers.py (the reference uses RBF only; the dependency
@@ -129,9 +130,16 @@ def _matern_from_r(r: jax.Array, order: int) -> jax.Array:
 # kind string (a jit static) fully determines the pytree structure.
 # --------------------------------------------------------------------------
 
-STATIONARY_KINDS = ("rbf", "matern12", "matern32", "matern52")
+STATIONARY_KINDS = ("rbf", "matern12", "matern32", "matern52", "rq",
+                    "cosine")
+# 'arccosine' is the order-1 Cho & Saul kernel; the order is part of the
+# kind string ('arccosine0' / 'arccosine2') because it selects a different
+# closed form — a jit-static choice, like everything else in the kind.
 LEAF_KINDS = STATIONARY_KINDS + ("linear", "polynomial", "periodic",
-                                 "white", "constant")
+                                 "white", "constant", "arccosine",
+                                 "arccosine0", "arccosine2")
+
+ARCCOSINE_ORDERS = {"arccosine0": 0, "arccosine": 1, "arccosine2": 2}
 
 
 def parse_kind(kind: str) -> tuple:
@@ -187,6 +195,34 @@ def white_params(variance: float = 1.0, dtype=jnp.float32) -> KernelParams:
 constant_params = white_params
 
 
+def rq_params(input_dim: int, variance: float = 1.0, lengthscales=1.0,
+              alpha: float = 1.0, ard: bool = True,
+              dtype=jnp.float32) -> KernelParams:
+    """gpflow RationalQuadratic: k = v (1 + r2/(2 alpha))^(-alpha) with the
+    per-dim scaled squared distance r2; alpha > 0 trainable (the
+    scale-mixture-of-RBFs index)."""
+    p = rbf_params(input_dim, variance, lengthscales, ard, dtype)
+    p["raw_alpha"] = positive_inverse(jnp.asarray(alpha, dtype))
+    return p
+
+
+def arccosine_params(input_dim: int, variance: float = 1.0,
+                     weight_variances=1.0, bias_variance: float = 1.0,
+                     ard: bool = True, dtype=jnp.float32) -> KernelParams:
+    """gpflow ArcCosine (Cho & Saul 2009): the infinite-width one-hidden-
+    layer network kernel. Trainable per-dim weight variances (ARD), bias
+    variance, and output variance; the ORDER (0/1/2 — step/relu/quadratic
+    activations) is chosen by the kind string (ARCCOSINE_ORDERS)."""
+    w = jnp.broadcast_to(jnp.asarray(weight_variances, dtype),
+                         (input_dim,) if ard else (1,))
+    return {
+        "raw_variance": positive_inverse(jnp.asarray(variance, dtype)),
+        "raw_weight_variances": positive_inverse(w),
+        "raw_bias_variance": positive_inverse(
+            jnp.asarray(bias_variance, dtype)),
+    }
+
+
 def kernel_params(kind: str, input_dim: int, variance: float = 1.0,
                   lengthscales=1.0, ard: bool = True,
                   dtype=jnp.float32) -> KernelParams:
@@ -203,6 +239,11 @@ def kernel_params(kind: str, input_dim: int, variance: float = 1.0,
 
 
 def _leaf_params(kind, input_dim, variance, lengthscales, ard, dtype):
+    if kind == "rq":
+        return rq_params(input_dim, variance, lengthscales, ard=ard,
+                         dtype=dtype)
+    if kind in ARCCOSINE_ORDERS:
+        return arccosine_params(input_dim, variance, ard=ard, dtype=dtype)
     if kind in STATIONARY_KINDS:
         return rbf_params(input_dim, variance, lengthscales, ard, dtype)
     if kind == "linear":
@@ -231,16 +272,73 @@ def _weighted_inner(params, X, X2):
         X * v, jnp.swapaxes(X2, -1, -2), hp, bwd)
 
 
+def _arccos_J(theta: jax.Array, order: int) -> jax.Array:
+    """Cho & Saul J_n(theta) for orders 0/1/2."""
+    if order == 0:
+        return jnp.pi - theta
+    if order == 1:
+        return jnp.sin(theta) + (jnp.pi - theta) * jnp.cos(theta)
+    c = jnp.cos(theta)
+    return 3.0 * jnp.sin(theta) * c + (jnp.pi - theta) * (1.0 + 2.0 * c * c)
+
+
+def _arccos_moments(params, X, X2=None):
+    """(cross, sxx, syy): bias-shifted weighted inner products. The cross
+    term is ONE MXU dot under the gram precision policy; sxx/syy >= bias > 0
+    (shifted softplus), so the sqrt/ratio below are well-posed."""
+    from . import conditionals as _cond
+
+    w = positive(params["raw_weight_variances"])
+    b = positive(params["raw_bias_variance"])
+    sxx = jnp.sum(w * jnp.square(X), axis=-1) + b        # [..., N]
+    if X2 is None:
+        return None, sxx, None
+    hp = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
+    bwd = (jax.lax.Precision.DEFAULT if GRAM_BWD_RELAX else hp)
+    cross = _cond.matmul_split_precision(
+        X * w, jnp.swapaxes(X2, -1, -2), hp, bwd) + b    # [..., N, M]
+    syy = jnp.sum(w * jnp.square(X2), axis=-1) + b       # [..., M]
+    return cross, sxx, syy
+
+
+# arccos has an unbounded derivative at |cos| = 1 (the gram DIAGONAL hits
+# it exactly); gpflow 1.5 squeezes cos_theta by its jitter level before
+# acos, which keeps both the value error (~sqrt(2 eps) rad at theta = 0)
+# and the gradient (~1/sqrt(2 eps)) bounded. Same trick, same magnitude.
+_ARCCOS_EPS = 1e-6
+
+
 def _leaf_K(params, X, X2, kind: str, x_equals_x2: bool) -> jax.Array:
     if kind in STATIONARY_KINDS:
         ls = kernel_lengthscales(params)
         var = kernel_variance(params)
+        if kind == "cosine":
+            # v cos(sum_d (x_d - x'_d) / l_d): the PD projected form (the
+            # real part of a complex exponential of a 1-D projection —
+            # Bochner). gpflow 1.5's cos(euclid_dist) variant is NOT
+            # positive definite for D > 1 (its Kuu Cholesky genuinely
+            # fails); gpflow 2 replaced it with exactly this form.
+            u = jnp.sum(X / ls, axis=-1)
+            u2 = jnp.sum(X2 / ls, axis=-1)
+            return var * jnp.cos(u[..., :, None] - u2[..., None, :])
         d2 = scaled_squared_distance(X, X2, ls)
         if kind == "rbf":
             return var * jnp.exp(-0.5 * d2)
+        if kind == "rq":
+            alpha = positive(params["raw_alpha"])
+            return var * (1.0 + d2 / (2.0 * alpha)) ** (-alpha)
         order = {"matern12": 1, "matern32": 3, "matern52": 5}[kind]
         r = jnp.sqrt(jnp.maximum(d2, 1e-36))
         return var * _matern_from_r(r, order)
+    if kind in ARCCOSINE_ORDERS:
+        order = ARCCOSINE_ORDERS[kind]
+        var = kernel_variance(params)
+        cross, sxx, syy = _arccos_moments(params, X, X2)
+        denom = jnp.sqrt(sxx)[..., :, None] * jnp.sqrt(syy)[..., None, :]
+        cos_t = _ARCCOS_EPS + (1.0 - 2.0 * _ARCCOS_EPS) * cross / denom
+        theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+        return (var / jnp.pi) * denom ** order * _arccos_J(theta, order)
     if kind == "linear":
         return _weighted_inner(params, X, X2)
     if kind == "polynomial":
@@ -278,6 +376,13 @@ def _leaf_K(params, X, X2, kind: str, x_equals_x2: bool) -> jax.Array:
 def _leaf_Kdiag(params, X, kind: str) -> jax.Array:
     if kind in STATIONARY_KINDS + ("white", "constant", "periodic"):
         return jnp.broadcast_to(kernel_variance(params), X.shape[:-1])
+    if kind in ARCCOSINE_ORDERS:
+        # theta = 0 on the diagonal: J(0) = pi (orders 0, 1), 3 pi (order 2)
+        order = ARCCOSINE_ORDERS[kind]
+        var = kernel_variance(params)
+        _, sxx, _ = _arccos_moments(params, X)
+        j0 = 3.0 if order == 2 else 1.0
+        return var * j0 * sxx ** order
     v = positive(params["raw_variance"])
     inner = jnp.sum(v * jnp.square(X), axis=-1)
     if kind == "linear":

@@ -388,6 +388,105 @@ def beta_predict_density(params, fmean, fvar, y,
     return jnp.sum(per_dim, axis=-1)
 
 
+# ---- Ordinal (probit bins; gpflow Ordinal) --------------------------------
+#
+# C ordered categories y in {0..C-1} via a unit-noise probit of f against
+# C-1 increasing bin edges: p(y=c|f) = Phi(b_c - f) - Phi(b_{c-1} - f) with
+# b_{-1} = -inf, b_{C-1} = +inf. Edges are fixed (consumed through
+# stop_gradient), matching gpflow's constructor-argument convention; the
+# final GP layer keeps d_out = 1 (unlike multiclass). Every predictive
+# reduces analytically because the noise is Gaussian: p(y<=c | m, v) =
+# Phi((b_c - m) / sqrt(1 + v)) — only the data term needs quadrature.
+
+# finite stand-in for the +-inf boundary edges: Phi(+-1e4) rounds to 1/0
+# and its pdf to 0 EXACTLY in both f32 and f64, so values and gradients
+# match the inf limit without inf-inf NaN hazards under AD.
+_ORDINAL_SENTINEL = 1e4
+
+
+def ordinal_params(num_classes: int = 3, bin_edges=None,
+                   dtype=jnp.float32) -> LikelihoodParams:
+    """bin_edges: [C-1] increasing; default unit-spaced centered on 0
+    (C=3 -> [-0.5, 0.5]). The class count is static via the edges' length."""
+    if bin_edges is None:
+        bin_edges = [i - (num_classes - 2) / 2.0
+                     for i in range(num_classes - 1)]
+    return {"bin_edges": jnp.asarray(bin_edges, dtype)}
+
+
+def _log_gauss_interval(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """log(Phi(hi) - Phi(lo)) for lo < hi, stable in BOTH tails: reflected
+    into the left tail (where logcdf is accurate) when the interval sits in
+    the right one. The naive cdf difference underflows to log(0) as soon as
+    a bin is ~8 sigma out."""
+    flip = (lo + hi) > 0.0
+    l2 = jnp.where(flip, -hi, lo)
+    h2 = jnp.where(flip, -lo, hi)
+    la = jax.scipy.stats.norm.logcdf(h2)
+    lb = jax.scipy.stats.norm.logcdf(l2)
+    # exp(lb - la) < 1 strictly (edges are strictly increasing); the clamp
+    # only guards the representable-equality corner against log1p(-1)
+    return la + jnp.log1p(-jnp.exp(jnp.minimum(lb - la, -1e-12)))
+
+
+def _ordinal_bounds(edges: jax.Array, y: jax.Array):
+    """Per-label (lo_edge, hi_edge) with finite sentinel boundaries."""
+    sent = jnp.asarray([_ORDINAL_SENTINEL], edges.dtype)
+    lo_edges = jnp.concatenate([-sent, edges])
+    hi_edges = jnp.concatenate([edges, sent])
+    C = edges.shape[0] + 1
+    yi = jnp.clip(y.astype(jnp.int32), 0, C - 1)
+    return lo_edges[yi], hi_edges[yi]
+
+
+def ordinal_variational_expectations(params, mean, var, y,
+                                     n_points=DEFAULT_NUM_GAUSS_HERMITE):
+    edges = jax.lax.stop_gradient(params["bin_edges"])
+
+    def logp(f):  # f: [..., D, Q]; bounds broadcast [..., D, 1]
+        lo, hi = _ordinal_bounds(edges, y[..., None])
+        return _log_gauss_interval(lo - f, hi - f)
+
+    per_dim = gauss_hermite_expectation(logp, mean, var, n_points)
+    return jnp.sum(per_dim, axis=-1)
+
+
+def ordinal_predict_probs(params, fmean, fvar) -> jax.Array:
+    """Class probabilities [..., C] from fmean/fvar [..., 1] — analytic:
+    p(y<=c) = Phi((b_c - m)/sqrt(1+v))."""
+    edges = jax.lax.stop_gradient(params["bin_edges"])
+    m = fmean[..., 0]
+    s = jnp.sqrt(1.0 + fvar[..., 0])
+    cdf = jax.scipy.stats.norm.cdf((edges - m[..., None]) / s[..., None])
+    zeros = jnp.zeros_like(m)[..., None]
+    ones = jnp.ones_like(m)[..., None]
+    cdf = jnp.concatenate([zeros, cdf, ones], axis=-1)
+    return jnp.clip(jnp.diff(cdf, axis=-1), 0.0, 1.0)
+
+
+def ordinal_predict_mean_and_var(params, fmean, fvar):
+    """Moments of the predictive label distribution (shape-preserving
+    [..., 1] like the other identity-dim families)."""
+    p = ordinal_predict_probs(params, fmean, fvar)
+    ks = jnp.arange(p.shape[-1], dtype=p.dtype)
+    m = jnp.sum(p * ks, axis=-1, keepdims=True)
+    v = jnp.sum(p * jnp.square(ks), axis=-1, keepdims=True) - jnp.square(m)
+    return m, jnp.maximum(v, 0.0)
+
+
+def ordinal_predict_density(params, fmean, fvar, y,
+                            n_points=None) -> jax.Array:
+    """log p(y | m, v) = log[Phi((b_y - m)/s) - Phi((b_{y-1} - m)/s)],
+    s = sqrt(1 + v) — analytic, in the tail-stable interval form
+    (n_points accepted for dispatch symmetry, unused)."""
+    del n_points
+    edges = jax.lax.stop_gradient(params["bin_edges"])
+    lo, hi = _ordinal_bounds(edges, y)
+    s = jnp.sqrt(1.0 + fvar)
+    per_dim = _log_gauss_interval((lo - fmean) / s, (hi - fmean) / s)
+    return jnp.sum(per_dim, axis=-1)
+
+
 # ---- Multiclass (robust-max link; gpflow MultiClass/RobustMax) -----------
 #
 # C-class classification: the final GP layer has d_out = C independent
@@ -507,6 +606,8 @@ _FAMILIES = {
     "multiclass": (multiclass_variational_expectations,
                    multiclass_predict_mean_and_var,
                    multiclass_predict_density),
+    "ordinal": (ordinal_variational_expectations,
+                ordinal_predict_mean_and_var, ordinal_predict_density),
 }
 
 LIKELIHOOD_KINDS = tuple(_FAMILIES)
@@ -515,7 +616,8 @@ LIKELIHOOD_KINDS = tuple(_FAMILIES)
 def init_params(kind: str = "gaussian", noise_variance: float = 0.05,
                 dtype=jnp.float32, **family_kwargs) -> LikelihoodParams:
     """family_kwargs: per-family inits — student_t(scale, df), gamma(shape),
-    beta(scale). noise_variance only applies to the Gaussian."""
+    beta(scale), ordinal(num_classes, bin_edges). noise_variance only
+    applies to the Gaussian."""
     if kind == "gaussian":
         return gaussian_params(noise_variance, dtype)
     if kind == "bernoulli":
@@ -532,6 +634,8 @@ def init_params(kind: str = "gaussian", noise_variance: float = 0.05,
         return beta_params(dtype=dtype, **family_kwargs)
     if kind == "multiclass":
         return multiclass_params(dtype)
+    if kind == "ordinal":
+        return ordinal_params(dtype=dtype, **family_kwargs)
     raise ValueError(f"unknown likelihood {kind!r}; "
                      f"one of {LIKELIHOOD_KINDS}")
 
@@ -578,6 +682,11 @@ def dispatch_sample_observations(params, key: jax.Array, fs: jax.Array, *,
         mu = jax.nn.sigmoid(fs)
         return jax.random.beta(key, mu * scale, (1.0 - mu) * scale,
                                fs.shape, fs.dtype)
+    if kind == "ordinal":
+        # y = #edges below z, z ~ N(f, 1) — exact one-draw sampler
+        edges = jax.lax.stop_gradient(params["bin_edges"])
+        z = fs + jax.random.normal(key, fs.shape, fs.dtype)
+        return jnp.sum(z[..., None] > edges, axis=-1).astype(fs.dtype)
     if kind == "multiclass":
         # argmax winner, replaced by a uniform other class w.p. eps
         C = fs.shape[-1]

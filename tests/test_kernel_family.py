@@ -1,5 +1,6 @@
-"""Wider kernel family (Linear / Polynomial / Periodic / White / Constant
-+ sum/product combinators).
+"""Wider kernel family (RationalQuadratic / Cosine / ArcCosine 0|1|2 /
+Linear / Polynomial / Periodic / White / Constant + sum/product
+combinators).
 
 Parity strategy mirrors gpflow's test_kerns for the kernel set the
 dependency layer ships (gpflow:gpflow/kernels.py): every leaf gram is
@@ -29,7 +30,13 @@ X2 = jnp.asarray(RNG.randn(M, D))
 
 ALL_LEAVES = list(kernels.LEAF_KINDS)
 COMPOSITES = ["rbf+linear", "rbf*periodic", "rbf*linear+constant",
-              "matern32+white", "linear+polynomial+constant"]
+              "matern32+white", "linear+polynomial+constant",
+              "rq*linear+cosine", "arccosine+rbf"]
+
+
+def _has_arccos(kind):
+    return any(f in kernels.ARCCOSINE_ORDERS
+               for t in kernels.parse_kind(kind) for f in t)
 
 
 def leaf_reference(params, x, x2, kind, same):
@@ -43,6 +50,15 @@ def leaf_reference(params, x, x2, kind, same):
         r = np.sqrt(np.maximum(d2, 0))
         if kind == "rbf":
             return v * np.exp(-0.5 * d2)
+        if kind == "rq":
+            alpha = pos(params["raw_alpha"])
+            return v * (1 + d2 / (2 * alpha)) ** (-alpha)
+        if kind == "cosine":
+            # the PD projected form (gpflow-2 convention; the 1.5
+            # euclid-distance cosine is not PSD in D > 1 — ops/kernels.py)
+            u = (x / ls).sum(-1)
+            u2 = (x2 / ls).sum(-1)
+            return v * np.cos(u[:, None] - u2[None, :])
         if kind == "matern12":
             return v * np.exp(-r)
         if kind == "matern32":
@@ -50,6 +66,25 @@ def leaf_reference(params, x, x2, kind, same):
             return v * (1 + s) * np.exp(-s)
         s = np.sqrt(5.0) * r
         return v * (1 + s + 5.0 / 3.0 * d2) * np.exp(-s)
+    if kind in kernels.ARCCOSINE_ORDERS:
+        order = kernels.ARCCOSINE_ORDERS[kind]
+        v = pos(params["raw_variance"])
+        w = pos(params["raw_weight_variances"])
+        b = pos(params["raw_bias_variance"])
+        cross = (x * w) @ x2.T + b
+        sxx = (w * x ** 2).sum(-1) + b
+        syy = (w * x2 ** 2).sum(-1) + b
+        den = np.sqrt(sxx)[:, None] * np.sqrt(syy)[None, :]
+        eps = 1e-6  # the gpflow acos-jitter squeeze, ops/kernels.py
+        th = np.arccos(np.clip(eps + (1 - 2 * eps) * cross / den, -1, 1))
+        if order == 0:
+            J = np.pi - th
+        elif order == 1:
+            J = np.sin(th) + (np.pi - th) * np.cos(th)
+        else:
+            J = 3 * np.sin(th) * np.cos(th) \
+                + (np.pi - th) * (1 + 2 * np.cos(th) ** 2)
+        return v / np.pi * den ** order * J
     if kind == "linear":
         v = pos(params["raw_variance"])
         return (x * v) @ x2.T
@@ -106,9 +141,14 @@ class TestGramParity:
         want = composite_reference(p, X, X, kind, same=True)
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
         # Kdiag must equal diag(K(X, X)) INCLUDING the white kernel's
-        # same-set variance and the non-stationary kinds' x-dependence
+        # same-set variance and the non-stationary kinds' x-dependence.
+        # ArcCosine Kdiag is EXACT (J(0) closed form) while diag(K) passes
+        # the acos eps-squeeze (theta ~ sqrt(2e-6) instead of 0) — a real
+        # ~4.5e-4 relative offset at order 0, so that family compares at
+        # the clip's magnitude instead of machine precision.
         kd = np.asarray(kernels.Kdiag(p, X, kind=kind))
-        np.testing.assert_allclose(kd, np.diag(want), rtol=1e-10, atol=1e-12)
+        rtol = 1e-3 if _has_arccos(kind) else 1e-10
+        np.testing.assert_allclose(kd, np.diag(want), rtol=rtol, atol=1e-12)
 
     def test_psd_and_chol(self, kind):
         """Kuu + jitter factorizes: every kind is usable as a layer

@@ -1,5 +1,5 @@
 """Wider likelihood family (Student-t / Poisson / Exponential / Gamma /
-Beta / multiclass robust-max).
+Beta / Ordinal / multiclass robust-max).
 
 Parity strategy mirrors gpflow's test_likelihoods for the non-Gaussian
 families the dependency layer ships (gpflow:gpflow/likelihoods.py): every
@@ -72,7 +72,44 @@ def _cases():
             cond_mean=_sig,
             cond_var=lambda f: _sig(f) * (1.0 - _sig(f)) / (beta_s + 1.0),
             ys=[0.3, 0.75], ms=[0.4, -1.0], vs=[0.6, 0.2]),
+        "ordinal": dict(
+            # C=4 default edges [-1, 0, 1]; unit-noise probit bins
+            params=likelihoods.ordinal_params(4, dtype=f64),
+            logp=lambda f, y: _ordinal_logp(f, y, np.array([-1., 0., 1.])),
+            cond_mean=lambda f: _ordinal_moment(
+                f, np.array([-1., 0., 1.]), 1),
+            cond_var=lambda f: (
+                _ordinal_moment(f, np.array([-1., 0., 1.]), 2)
+                - _ordinal_moment(f, np.array([-1., 0., 1.]), 1) ** 2),
+            ys=[1.0, 3.0], ms=[0.3, -0.8], vs=[0.5, 1.1]),
     }
+
+
+def _ordinal_class_probs(f, edges):
+    """p(y=c | f) for all c: [..., C] via unit-noise probit interval probs.
+
+    Tail-stable like the implementation: the naive cdf difference cancels
+    to EXACTLY 0 in f64 once the interval sits ~9 sigma right of f (both
+    cdfs round to 1), which poisoned the trapezoid reference with log(0);
+    use the survival-function difference on that side instead."""
+    f = np.asarray(f, np.float64)[..., None]
+    lo = np.concatenate([[-np.inf], edges]) - f          # [..., C]
+    hi = np.concatenate([edges, [np.inf]]) - f
+    with np.errstate(invalid="ignore"):
+        d_cdf = st.norm.cdf(hi) - st.norm.cdf(lo)
+        d_sf = st.norm.sf(lo) - st.norm.sf(hi)
+    return np.where(lo + hi > 0, d_sf, d_cdf)
+
+
+def _ordinal_logp(f, y, edges):
+    p = _ordinal_class_probs(f, edges)
+    return np.log(p[..., int(y)])
+
+
+def _ordinal_moment(f, edges, power):
+    p = _ordinal_class_probs(f, edges)
+    ks = np.arange(p.shape[-1], dtype=np.float64) ** power
+    return (p * ks).sum(-1)
 
 
 def _sig(f):
@@ -187,6 +224,84 @@ class TestMulticlass:
         lv, gp = cfg.layers
         assert isinstance(lv, LVLayerConfig) and lv.d_y == 1
         assert isinstance(gp, GPLayerConfig) and gp.d_out == 4
+
+
+class TestOrdinal:
+    EDGES = np.array([-1.0, 0.0, 1.0])  # C=4 default
+
+    def test_probs_sum_to_one_and_match_density(self):
+        p = likelihoods.ordinal_params(4, dtype=jnp.float64)
+        m = jnp.array([[0.3], [-1.2], [2.0]], jnp.float64)
+        v = jnp.array([[0.5], [1.1], [0.2]], jnp.float64)
+        probs = likelihoods.ordinal_predict_probs(p, m, v)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-12)
+        for c in range(4):
+            y = jnp.full((3, 1), float(c), jnp.float64)
+            ld = likelihoods.ordinal_predict_density(p, m, v, y)
+            np.testing.assert_allclose(np.exp(np.asarray(ld)),
+                                       np.asarray(probs[:, c]), rtol=1e-9)
+
+    def test_density_tail_stable(self):
+        """log p stays finite ~20 sigma out, where the naive cdf difference
+        underflows to log(0) (the reflected interval form)."""
+        p = likelihoods.ordinal_params(4, dtype=jnp.float64)
+        m = jnp.array([[-20.0], [20.0]], jnp.float64)
+        v = jnp.array([[0.5], [0.5]], jnp.float64)
+        y = jnp.array([[3.0], [0.0]], jnp.float64)  # far-tail classes
+        ld = np.asarray(likelihoods.ordinal_predict_density(p, m, v, y))
+        assert np.all(np.isfinite(ld)) and np.all(ld < -50), ld
+
+    def test_sampler_matches_probs(self):
+        p = likelihoods.ordinal_params(4, dtype=jnp.float64)
+        f = jnp.full((200000, 1), 0.4, jnp.float64)
+        ys = likelihoods.dispatch_sample_observations(
+            p, jax.random.PRNGKey(5), f, kind="ordinal")
+        assert ys.shape == f.shape
+        hist = np.bincount(np.asarray(ys[:, 0]).astype(int),
+                           minlength=4) / 200000
+        want = _ordinal_class_probs(0.4, self.EDGES)
+        np.testing.assert_allclose(hist, want, atol=4e-3)
+
+    def test_builder_keeps_one_output(self):
+        """Unlike multiclass, ordinal keeps the final GP layer at d_out=1
+        and encodes C in the bin edges."""
+        from dgps_with_iwvi_tpu.models import build_model
+
+        rng = np.random.RandomState(3)
+        X = jnp.asarray(rng.randn(50, 2))
+        Y = jnp.asarray(rng.randint(0, 5, (50, 1)).astype(np.float64))
+        cfg, params = build_model(
+            KEY, BuildArgs(configuration="G", likelihood="ordinal",
+                           num_classes=5, num_inducing=8), X, Y)
+        assert cfg.layers[-1].d_out == 1
+        assert params["likelihood"]["bin_edges"].shape == (4,)
+        assert np.isfinite(float(elbo(params, cfg, X, Y, KEY)))
+
+    def test_ordinal_dgp_learns_ordering(self):
+        """Ordered labels from a monotone latent rule: training lifts the
+        bound and the predictive mean tracks the label order."""
+        n, d = 120, 2
+        rng = np.random.RandomState(0)
+        X = rng.randn(n, d)
+        latent = 1.5 * X[:, 0]
+        Y = np.digitize(latent, [-1.0, 0.0, 1.0]).astype(np.float64)[:, None]
+        X = jnp.asarray(X); Y = jnp.asarray(Y)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=d, d_out=1, num_inducing=16,
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi", likelihood="ordinal")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64,
+                          likelihood_kwargs={"num_classes": 4})
+        before = float(elbo(params, cfg, X, Y, KEY))
+        tc = TrainConfig(lr=5e-2, natgrad="none", minibatch_size=n,
+                         iterations=300, steps_per_call=100)
+        trained, _ = fit(KEY, cfg, params, X, Y, tc)
+        after = float(elbo(trained, cfg, X, Y, KEY))
+        assert after > before, (before, after)
+        m, _ = predict_y(trained, cfg, X, jax.random.PRNGKey(1), 32)
+        # rounded predictive mean = the natural ordinal decision rule
+        acc = float(jnp.mean(jnp.round(jnp.clip(m[:, 0], 0, 3)) == Y[:, 0]))
+        assert acc > 0.7, acc
 
 
 class TestSampling:

@@ -486,3 +486,89 @@ class TestFullCovPrediction:
         for s in range(3):
             eig = np.linalg.eigvalsh(np.asarray(cov_f)[s, 0])
             assert eig.min() > -1e-8
+
+
+class TestTrainableMeanFunctions:
+    """gpflow's trainable Constant / Linear(A, b) mean functions
+    (gpflow:gpflow/mean_functions.py) as GPLayerConfig options — alongside
+    the fixed skip/zero reference conventions."""
+
+    def _cfg(self, mf, d_in=2, d_out=1, final=True):
+        return DGPConfig(
+            layers=(GPLayerConfig(d_in=d_in, d_out=d_out, num_inducing=6,
+                                  mean_function=mf, final=final),),
+            num_data=10, num_samples=3)
+
+    def test_zero_init_matches_fixed_conventions(self):
+        """At init the trainable families coincide with the fixed ones:
+        constant(b=0) == zero; linear(W=I, b=0) == the identity skip
+        (d_in == d_out). Same key -> exact equality."""
+        X, _ = _toy_data(10, 2, dy=2)
+        k = jax.random.PRNGKey(3)
+        for mf, ref_kind in (("constant", "zero"), ("linear", "skip")):
+            cfg = self._cfg(mf, d_out=2)
+            params = init_dgp(KEY, cfg, dtype=jnp.float64)
+            assert "mean_b" in params["layers"][0]
+            ref_cfg = self._cfg(ref_kind, d_out=2)
+            ref_params = init_dgp(KEY, ref_cfg, dtype=jnp.float64)
+            m, v = predict_f(params, cfg, X, k, 3)
+            m0, v0 = predict_f(ref_params, ref_cfg, X, k, 3)
+            np.testing.assert_allclose(np.asarray(m), np.asarray(m0),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v0),
+                                       rtol=1e-12)
+
+    def test_mean_params_receive_gradients(self):
+        """Unlike the fixed skip projection (stop_gradient), trainable mean
+        params get NONZERO elbo gradients and sit in the Adam partition."""
+        X, Y = _toy_data(12, 2)
+        cfg = self._cfg("linear")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        g = jax.grad(lambda p: elbo(p, cfg, X, Y, KEY))(params)
+        gl = g["layers"][0]
+        assert float(jnp.abs(gl["mean_b"]).max()) > 0
+        assert float(jnp.abs(gl["mean_W"]).max()) > 0
+        from dgps_with_iwvi_tpu.training import TrainConfig, make_trainer
+
+        init_fn, _, _, _ = make_trainer(cfg, TrainConfig(natgrad="final"))
+        state = init_fn(params)
+        assert "mean_b" in state.rest["layers"][0]  # Adam side, not natgrad
+
+    def test_constant_mean_absorbs_offset(self):
+        """A large target offset: the trained bias takes it over from q(u)
+        (the KL pulls q_mu back to the prior once b can carry the offset —
+        measured: b 1.7 -> 2.8 from 1k to 3k steps while mean(q_mu) falls
+        0.85 -> 0.46)."""
+        from dgps_with_iwvi_tpu.training import TrainConfig, fit
+
+        n = 60
+        rng = np.random.RandomState(0)
+        X = jnp.asarray(rng.randn(n, 2))
+        Y = 5.0 + 0.1 * jnp.asarray(rng.randn(n, 1))
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=2, d_out=1, num_inducing=8,
+                                  mean_function="constant", final=True),),
+            num_data=n)
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        tc = TrainConfig(lr=5e-2, natgrad="none", minibatch_size=n,
+                         iterations=3000, steps_per_call=500)
+        trained, _ = fit(KEY, cfg, params, X, Y, tc)
+        b = float(trained["layers"][0]["mean_b"][0])
+        q_mu_mean = float(trained["layers"][0]["q_mu"].mean())
+        assert b > 2.0 and b > q_mu_mean, (b, q_mu_mean)
+
+    def test_full_cov_includes_trainable_mean(self):
+        """predict_f_full_cov applies constant/linear means like the
+        marginal path (means must match between the two)."""
+        from dgps_with_iwvi_tpu.models import predict_f_full_cov
+
+        X, Y = _toy_data(8, 2)
+        for mf in ("constant", "linear"):
+            cfg = self._cfg(mf)
+            params = init_dgp(KEY, cfg, dtype=jnp.float64)
+            params["layers"][0]["mean_b"] = jnp.asarray([1.7])
+            k = jax.random.PRNGKey(5)
+            m_marg, _ = predict_f(params, cfg, X, k, 3)
+            m_full, _ = predict_f_full_cov(params, cfg, X, k, 3)
+            np.testing.assert_allclose(np.asarray(m_full),
+                                       np.asarray(m_marg), rtol=1e-10)
