@@ -83,6 +83,26 @@ class TestHarnessE2E:
         rows = Database(db).read("yacht")
         assert len(rows) == 1 and rows[0]["K"] == 3
 
+    def test_cli_ordinal_trainable_mean(self, tmp_path):
+        """--likelihood ordinal + --mean_function constant through the full
+        harness: the quantile-binned loader feeds integer labels, the final
+        layer keeps ONE output, metrics report ordinal accuracy."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from experiments.main import parse_args, run
+
+        args = parse_args([
+            "--dataset", "yacht", "--configuration", "G",
+            "--likelihood", "ordinal", "--num_classes", "4",
+            "--mean_function", "constant", "--natgrad", "none",
+            "--M", "8", "--iterations", "100", "--minibatch_size", "64",
+            "--steps_per_call", "50", "--num_predict_samples", "10",
+            "--print_every", "0", "--seed", "0"])
+        row = run(args)
+        assert np.isfinite(row["test_loglik"])
+        assert 0.0 <= row["test_accuracy"] <= 1.0
+
     def test_serve_cli_scores_from_checkpoint(self, tmp_path):
         """experiments/serve.py end-to-end: train a tiny model with a
         checkpoint via main.py, then serve predictions from the checkpoint;
