@@ -63,7 +63,9 @@ def parse_args(argv=None):
                    help="leaf kinds rbf|matern12|matern32|matern52|rq|"
                         "cosine|arccosine[0|2]|linear|polynomial|periodic|"
                         "white|constant, composable with '+'/'*' "
-                        "(e.g. 'rbf+linear', 'rbf*periodic')")
+                        "(e.g. 'rbf+linear', 'rbf*periodic'); per-leaf "
+                        "active dims as a '[...]' suffix "
+                        "(e.g. 'rbf[0:3]*periodic[3]', 'linear[0,2,5]')")
     p.add_argument("--likelihood", default="gaussian",
                    choices=["gaussian", "bernoulli", "student_t",
                             "multiclass", "ordinal"],

@@ -39,7 +39,8 @@ class BuildArgs:
     use_pallas: bool | str = "auto"
     # leaf kinds rbf | matern12/32/52 | rq | cosine | arccosine[0|2] |
     # linear | polynomial | periodic | white | constant, composable with
-    # '+'/'*' ("rbf+linear", "rbf*periodic") — ops/kernels.py parse_kind
+    # '+'/'*' ("rbf+linear", "rbf*periodic"), each leaf optionally sliced
+    # to active dims ("rbf[0:3]*periodic[3]") — ops/kernels.py parse_kind
     kernel_kind: str = "rbf"
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): gaussian,

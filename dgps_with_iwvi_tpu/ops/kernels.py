@@ -7,9 +7,10 @@ TPU-native equivalent of gpflow:gpflow/kernels.py as referenced by
 ref:dgps_with_iwvi/layers.py (the reference uses RBF only; the dependency
 layer this module replaces ships the full family). Pure functions over a
 small params pytree; positive parameters are stored unconstrained (see
-ops/transforms.py). active_dims slicing is intentionally not implemented —
-slice inputs at the call site instead (a static slice composes with jit
-for free).
+ops/transforms.py). gpflow's active_dims is a per-leaf '[...]' suffix in
+the kind string ("rbf[0:3]*periodic[3]", "linear[0,2,5]") — a static
+column selection that composes with jit for free; a leaf without a suffix
+sees every input dim, so plain kinds are unchanged.
 
 Design notes (TPU-first):
 - The squared distance uses the ||x||^2 - 2 x.y + ||y||^2 expansion so the
@@ -143,15 +144,49 @@ ARCCOSINE_ORDERS = {"arccosine0": 0, "arccosine": 1, "arccosine2": 2}
 
 
 def parse_kind(kind: str) -> tuple:
-    """'a*b+c' -> (('a','b'), ('c',)): sum of products of leaf kinds."""
+    """'a*b+c' -> (('a','b'), ('c',)): sum of products of leaf tokens.
+
+    A token is a leaf kind with an optional active-dims suffix
+    ('rbf[0:3]', 'linear[0,2,5]', 'periodic[3]' — gpflow active_dims as a
+    static column selection); split_token separates the two."""
     terms = tuple(tuple(f.strip() for f in t.split("*"))
                   for t in kind.split("+"))
     for t in terms:
         for f in t:
-            if f not in LEAF_KINDS:
-                raise ValueError(f"unknown kernel kind {f!r} in {kind!r}; "
-                                 f"leaves: {LEAF_KINDS}")
+            split_token(f)  # validates kind name + dims syntax
     return terms
+
+
+def split_token(token: str) -> tuple:
+    """'rbf[0:3]' -> ('rbf', (0, 1, 2)); 'rbf' -> ('rbf', None).
+
+    dims come back as a static tuple of column indices: '[a:b]' is the
+    half-open range, '[i,j,...]' an explicit list, '[i]' one column."""
+    name, bracket, spec = token.partition("[")
+    name = name.strip()
+    if name not in LEAF_KINDS:
+        raise ValueError(f"unknown kernel kind {name!r} in {token!r}; "
+                         f"leaves: {LEAF_KINDS}")
+    if not bracket:
+        return name, None
+    spec = spec.strip()
+    if not spec.endswith("]"):
+        raise ValueError(f"unterminated active-dims suffix in {token!r}")
+    spec = spec[:-1].strip()
+    try:
+        if ":" in spec:
+            a, b = spec.split(":")
+            dims = tuple(range(int(a), int(b)))
+        else:
+            dims = tuple(int(s) for s in spec.split(","))
+    except ValueError:
+        raise ValueError(
+            f"bad active-dims suffix in {token!r}: use '[a:b]' (half-open "
+            "range) or '[i,j,...]' (explicit columns)") from None
+    if not dims or len(set(dims)) != len(dims) or min(dims) < 0:
+        raise ValueError(f"active dims {dims} in {token!r} must be "
+                         "non-empty, unique and non-negative")
+    return name, dims
 
 
 def linear_params(input_dim: int, variance: float = 1.0, ard: bool = True,
@@ -238,7 +273,12 @@ def kernel_params(kind: str, input_dim: int, variance: float = 1.0,
         for t in terms)}
 
 
-def _leaf_params(kind, input_dim, variance, lengthscales, ard, dtype):
+def _leaf_params(token, input_dim, variance, lengthscales, ard, dtype):
+    kind, dims = split_token(token)
+    if dims is not None:
+        assert max(dims) < input_dim, \
+            f"active dims {dims} out of range for input_dim={input_dim}"
+        input_dim = len(dims)  # per-dim params cover the selected columns
     if kind == "rq":
         return rq_params(input_dim, variance, lengthscales, ard=ard,
                          dtype=dtype)
@@ -309,7 +349,11 @@ def _arccos_moments(params, X, X2=None):
 _ARCCOS_EPS = 1e-6
 
 
-def _leaf_K(params, X, X2, kind: str, x_equals_x2: bool) -> jax.Array:
+def _leaf_K(params, X, X2, token: str, x_equals_x2: bool) -> jax.Array:
+    kind, dims = split_token(token)
+    if dims is not None:  # static column selection (gpflow active_dims)
+        idx = jnp.asarray(dims)
+        X, X2 = X[..., idx], X2[..., idx]
     if kind in STATIONARY_KINDS:
         ls = kernel_lengthscales(params)
         var = kernel_variance(params)
@@ -373,7 +417,10 @@ def _leaf_K(params, X, X2, kind: str, x_equals_x2: bool) -> jax.Array:
     raise ValueError(f"unknown kernel kind {kind!r}")
 
 
-def _leaf_Kdiag(params, X, kind: str) -> jax.Array:
+def _leaf_Kdiag(params, X, token: str) -> jax.Array:
+    kind, dims = split_token(token)
+    if dims is not None:
+        X = X[..., jnp.asarray(dims)]
     if kind in STATIONARY_KINDS + ("white", "constant", "periodic"):
         return jnp.broadcast_to(kernel_variance(params), X.shape[:-1])
     if kind in ARCCOSINE_ORDERS:

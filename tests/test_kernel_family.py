@@ -31,17 +31,24 @@ X2 = jnp.asarray(RNG.randn(M, D))
 ALL_LEAVES = list(kernels.LEAF_KINDS)
 COMPOSITES = ["rbf+linear", "rbf*periodic", "rbf*linear+constant",
               "matern32+white", "linear+polynomial+constant",
-              "rq*linear+cosine", "arccosine+rbf"]
+              "rq*linear+cosine", "arccosine+rbf",
+              # active-dims suffixes: different leaves on different columns
+              "rbf[0:2]", "rbf[0:2]*periodic[2]", "linear[0,3]+rq[1:3]",
+              "arccosine2[0:2]+white"]
 
 
 def _has_arccos(kind):
-    return any(f in kernels.ARCCOSINE_ORDERS
+    return any(kernels.split_token(f)[0] in kernels.ARCCOSINE_ORDERS
                for t in kernels.parse_kind(kind) for f in t)
 
 
-def leaf_reference(params, x, x2, kind, same):
-    """Dense numpy closed form per leaf (float64)."""
+def leaf_reference(params, x, x2, token, same):
+    """Dense numpy closed form per leaf (float64); token may carry an
+    active-dims suffix, applied here as a plain column slice."""
+    kind, dims = kernels.split_token(token)
     x, x2 = np.asarray(x), np.asarray(x2)
+    if dims is not None:
+        x, x2 = x[:, list(dims)], x2[:, list(dims)]
     pos = lambda r: 1e-6 + np.log1p(np.exp(np.asarray(r)))
     if kind in kernels.STATIONARY_KINDS:
         ls = pos(params["raw_lengthscales"])
@@ -236,3 +243,62 @@ class TestEndToEnd:
             m, _ = predict_y(trained, cfg, Xr, jax.random.PRNGKey(1), 16)
             res[kind] = float(jnp.sqrt(jnp.mean((m - Yr) ** 2)))
         assert res["periodic"] < 0.1 < res["linear"], res
+
+
+class TestActiveDims:
+    """gpflow active_dims as per-leaf '[...]' suffixes in the kind string
+    (static column selection; ops/kernels.py split_token)."""
+
+    def test_sliced_leaf_equals_plain_on_sliced_input(self):
+        """'rbf[0:2]' on X:[N,4] == 'rbf' on X[:, :2], same params."""
+        p = kernels.kernel_params("rbf[0:2]", D, variance=1.3,
+                                  lengthscales=0.7, dtype=jnp.float64)
+        assert p["raw_lengthscales"].shape == (2,)  # per-ACTIVE-dim ARD
+        got = kernels.K(p, X, X2, kind="rbf[0:2]")
+        want = kernels.K(p, X[:, :2], X2[:, :2], kind="rbf")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12)
+        kd = kernels.Kdiag(p, X, kind="rbf[0:2]")
+        kd2 = kernels.Kdiag(p, X[:, :2], kind="rbf")
+        np.testing.assert_allclose(np.asarray(kd), np.asarray(kd2),
+                                   rtol=1e-12)
+
+    def test_explicit_column_list(self):
+        """'[i,j]' picks non-contiguous columns, order preserved."""
+        p = kernels.kernel_params("linear[3,0]", D, dtype=jnp.float64)
+        assert p["raw_variance"].shape == (2,)
+        got = kernels.K(p, X, X2, kind="linear[3,0]")
+        want = kernels.K(p, X[:, [3, 0]], X2[:, [3, 0]], kind="linear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12)
+
+    def test_bad_suffixes_rejected(self):
+        for bad in ("rbf[0:0]", "rbf[1,1]", "rbf[", "rbf[x]", "rbf[-1]",
+                    "nope[0]"):
+            with pytest.raises(ValueError):
+                kernels.parse_kind(bad)
+        with pytest.raises(AssertionError):  # out of range for input_dim
+            kernels.kernel_params("rbf[0:9]", D)
+
+    def test_builder_e2e_sliced_composite(self):
+        """A builder model with per-column structure trains: column 0 is
+        linear, column 1 sinusoidal; the sliced composite separates them."""
+        n = 120
+        Xr = jnp.asarray(RNG.randn(n, 2))
+        Yr = (0.8 * Xr[:, :1] + jnp.sin(3.0 * Xr[:, 1:2])
+              + 0.05 * jnp.asarray(RNG.randn(n, 1)))
+        cfg, params = build_model(
+            KEY, BuildArgs(configuration="G",
+                           kernel_kind="linear[0]+rbf[1]",
+                           num_inducing=16),
+            Xr, Yr)
+        before = float(elbo(params, cfg, Xr, Yr, KEY))
+        tc = TrainConfig(lr=5e-2, natgrad="final", gamma=5e-3,
+                         minibatch_size=n, iterations=600,
+                         steps_per_call=100)
+        trained, _ = fit(KEY, cfg, params, Xr, Yr, tc)
+        after = float(elbo(trained, cfg, Xr, Yr, KEY))
+        assert after > before + 10.0, (before, after)
+        m, _ = predict_y(trained, cfg, Xr, jax.random.PRNGKey(1), 16)
+        rmse = float(jnp.sqrt(jnp.mean((m - Yr) ** 2)))
+        assert rmse < 0.4, rmse
