@@ -118,7 +118,7 @@ def evaluate(
         [mean[:bs - pad] for (pad, _, _), (_, mean) in zip(outs, fetched)])
     ys = np.asarray(Y_test)                             # [n, d_y], host copy
     ld_norm = float(np.concatenate(lds).mean())
-    if likelihood == "multiclass":
+    if likelihood in ("multiclass", "softmax"):
         # means holds mixture class probabilities [n, C]; ys integer labels
         acc = float(np.mean(np.argmax(means, axis=-1) == ys[:, 0]))
         return {

@@ -68,7 +68,7 @@ def parse_args(argv=None):
                         "(e.g. 'rbf[0:3]*periodic[3]', 'linear[0,2,5]')")
     p.add_argument("--likelihood", default="gaussian",
                    choices=["gaussian", "bernoulli", "student_t",
-                            "multiclass", "ordinal"],
+                            "multiclass", "softmax", "ordinal"],
                    help="observation model; gaussian/student_t use the "
                         "standardized regression loader, bernoulli/"
                         "multiclass/ordinal the label-preserving loaders "
@@ -170,7 +170,7 @@ def run(args) -> dict:
     data_kw = {} if args.data_dir is None else {"data_dir": args.data_dir}
     if args.likelihood == "bernoulli":
         get_data = get_classification_data
-    elif args.likelihood in ("multiclass", "ordinal"):
+    elif args.likelihood in ("multiclass", "softmax", "ordinal"):
         data_kw["n_classes"] = args.num_classes
         get_data = get_multiclass_data
     else:

@@ -45,9 +45,10 @@ class BuildArgs:
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): gaussian,
     # bernoulli (probit), student_t, poisson, exponential, gamma, beta,
-    # multiclass (robust-max; Y holds integer labels in one column and the
-    # final GP layer gets num_classes outputs), ordinal (probit bins; Y
-    # holds integer labels, final layer keeps ONE output)
+    # multiclass (robust-max) / softmax (QMC link) — Y holds integer labels
+    # in one column and the final GP layer gets num_classes outputs —
+    # ordinal (probit bins; Y holds integer labels, final layer keeps ONE
+    # output)
     likelihood: str = "gaussian"
     # multiclass/ordinal only: number of classes C (multiclass: final-layer
     # width; ordinal: C-1 probit bin edges). Default matches the CLI's
@@ -172,7 +173,7 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
     # the final GP layer's width: d_y outputs, except multiclass where it is
     # one output per class (the encoder's Y input stays the raw label column)
     d_out_final = d_y
-    if args.likelihood == "multiclass":
+    if args.likelihood in ("multiclass", "softmax"):
         assert d_y == 1, "multiclass expects integer labels in one Y column"
         d_out_final = args.num_classes
     elif args.likelihood == "ordinal":

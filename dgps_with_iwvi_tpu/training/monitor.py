@@ -48,6 +48,17 @@ def hyperparameter_scalars(rest, config, tc=None, step=None) -> dict:
             out[f"hypers/layer{i}/lengthscale_mean"] = jnp.mean(ls)
             out[f"hypers/layer{i}/lengthscale_min"] = jnp.min(ls)
             out[f"hypers/layer{i}/lengthscale_max"] = jnp.max(ls)
+        # remaining positive leaf params generically (rq alpha, periodic
+        # period, arccosine weight/bias variances, polynomial offset):
+        # one mean scalar each, in constrained space
+        from ..ops.transforms import positive
+
+        for k, v in kp.items():
+            name = k.removeprefix("raw_")
+            if not k.startswith("raw_") or name in ("variance",
+                                                    "lengthscales"):
+                continue
+            out[f"hypers/layer{i}/kernel_{name}"] = jnp.mean(positive(v))
     if config.likelihood == "gaussian":
         out["hypers/likelihood_noise_variance"] = likelihoods.noise_variance(
             rest["likelihood"])

@@ -226,6 +226,112 @@ class TestMulticlass:
         assert isinstance(gp, GPLayerConfig) and gp.d_out == 4
 
 
+class TestSoftmax:
+    """gpflow Softmax (MC in the dependency; deterministic Halton-QMC
+    here — ops/likelihoods.py). Parity against brute-force numpy MC."""
+
+    M = jnp.array([[0.5, -0.2, 0.8], [-1.0, 0.3, 0.1]], jnp.float64)
+    V = jnp.array([[0.4, 0.9, 0.2], [0.7, 0.3, 1.1]], jnp.float64)
+
+    def _mc(self, fn, n=400000, seed=2):
+        rng = np.random.RandomState(seed)
+        m, v = np.asarray(self.M), np.asarray(self.V)
+        f = m[None] + np.sqrt(v)[None] * rng.randn(n, *m.shape)
+        return fn(f).mean(0)
+
+    def test_ve_vs_mc(self):
+        lp = likelihoods.softmax_params(dtype=jnp.float64)
+        y = jnp.array([[2.0], [0.0]], jnp.float64)
+        ve = np.asarray(likelihoods.softmax_variational_expectations(
+            lp, self.M, self.V, y))
+
+        def ref(f):
+            ls = f - np.log(np.exp(f).sum(-1, keepdims=True))
+            return ls[..., [2, 0]][..., np.arange(2), np.arange(2)]
+
+        # default P=256 carries ~0.008 nats of QMC bias (documented in
+        # ops/likelihoods.py); the rule must CONVERGE: 16x more points
+        # lands within MC noise of the brute-force estimate
+        want = self._mc(ref)
+        np.testing.assert_allclose(ve, want, atol=2e-2)
+        ve4k = np.asarray(likelihoods.softmax_variational_expectations(
+            lp, self.M, self.V, y, n_points=4096))
+        np.testing.assert_allclose(ve4k, want, atol=4e-3)
+
+    def test_zero_variance_is_exact(self):
+        """var -> 0: every QMC point collapses, VE == log_softmax(m)[y]."""
+        lp = likelihoods.softmax_params(dtype=jnp.float64)
+        y = jnp.array([[1.0], [2.0]], jnp.float64)
+        ve = np.asarray(likelihoods.softmax_variational_expectations(
+            lp, self.M, jnp.zeros_like(self.V), y))
+        want = np.asarray(jax.nn.log_softmax(self.M, -1))[[0, 1], [1, 2]]
+        np.testing.assert_allclose(ve, want, rtol=1e-8)
+
+    def test_probs_vs_mc_and_density(self):
+        lp = likelihoods.softmax_params(dtype=jnp.float64)
+        p = np.asarray(likelihoods.softmax_predict_probs(lp, self.M, self.V))
+        want = self._mc(
+            lambda f: np.exp(f) / np.exp(f).sum(-1, keepdims=True))
+        np.testing.assert_allclose(p, want, atol=3e-3)
+        np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-10)
+        # density is log E[softmax_y]: consistent with the probs
+        for c in range(3):
+            y = jnp.full((2, 1), float(c), jnp.float64)
+            ld = likelihoods.softmax_predict_density(lp, self.M, self.V, y)
+            np.testing.assert_allclose(np.exp(np.asarray(ld)), p[:, c],
+                                       rtol=1e-10)
+
+    def test_moments_and_determinism(self):
+        lp = likelihoods.softmax_params(dtype=jnp.float64)
+        p1, v1 = likelihoods.softmax_predict_mean_and_var(lp, self.M, self.V)
+        p2, v2 = likelihoods.softmax_predict_mean_and_var(lp, self.M, self.V)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(v1),
+                                   np.asarray(p1) * (1 - np.asarray(p1)),
+                                   rtol=1e-10)
+
+    def test_sampler_matches_softmax(self):
+        lp = likelihoods.softmax_params(dtype=jnp.float64)
+        f = jnp.tile(jnp.array([[0.0, 2.0, -1.0]], jnp.float64), (100000, 1))
+        ys = likelihoods.dispatch_sample_observations(
+            lp, jax.random.PRNGKey(4), f, kind="softmax")
+        assert ys.shape == (100000, 1)
+        want = np.asarray(jax.nn.softmax(jnp.array([0.0, 2.0, -1.0])))
+        for c in range(3):
+            np.testing.assert_allclose(float(jnp.mean(ys == float(c))),
+                                       want[c], atol=5e-3)
+
+    def test_builder_softmax_widths(self):
+        args = BuildArgs(configuration="G", likelihood="softmax",
+                         num_classes=5)
+        cfg = build_config(args, d_x=3, d_y=1, num_data=50)
+        assert cfg.layers[0].d_out == 5
+
+    def test_softmax_svgp_learns(self):
+        """Same 3-blob task as robust-max: accuracy well above chance."""
+        n_per, d, C = 60, 2, 3
+        rng = np.random.RandomState(0)
+        centers = np.array([[2.0, 0.0], [-1.0, 1.8], [-1.0, -1.8]])
+        X = np.concatenate([c + 0.6 * rng.randn(n_per, d) for c in centers])
+        Y = np.repeat(np.arange(C), n_per).astype(np.float64)[:, None]
+        X = jnp.asarray(X); Y = jnp.asarray(Y)
+        n = C * n_per
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=d, d_out=C, num_inducing=16,
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi", likelihood="softmax")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        before = float(elbo(params, cfg, X, Y, KEY))
+        tc = TrainConfig(lr=5e-2, natgrad="none", minibatch_size=n,
+                         iterations=300, steps_per_call=100)
+        trained, _ = fit(KEY, cfg, params, X, Y, tc)
+        after = float(elbo(trained, cfg, X, Y, KEY))
+        assert after > before, (before, after)
+        p, _ = predict_y(trained, cfg, X, jax.random.PRNGKey(1), 32)
+        acc = float(jnp.mean(jnp.argmax(p, -1) == Y[:, 0]))
+        assert acc > 0.85, acc
+
+
 class TestOrdinal:
     EDGES = np.array([-1.0, 0.0, 1.0])  # C=4 default
 
