@@ -62,10 +62,11 @@ def parse_args(argv=None):
     p.add_argument("--kernel", default="rbf",
                    help="leaf kinds rbf|matern12|matern32|matern52|rq|"
                         "cosine|arccosine[0|2]|linear|polynomial|periodic|"
-                        "white|constant, composable with '+'/'*' "
-                        "(e.g. 'rbf+linear', 'rbf*periodic'); per-leaf "
-                        "active dims as a '[...]' suffix "
-                        "(e.g. 'rbf[0:3]*periodic[3]', 'linear[0,2,5]')")
+                        "white|constant|coregion<C>x<R>, composable with "
+                        "'+'/'*' (e.g. 'rbf+linear', 'rbf*periodic'); "
+                        "per-leaf active dims as a '[...]' suffix "
+                        "(e.g. 'rbf[0:3]*periodic[3]', 'linear[0,2,5]', "
+                        "ICM multi-task: 'rbf[0:3]*coregion4x1[3]')")
     p.add_argument("--likelihood", default="gaussian",
                    choices=["gaussian", "bernoulli", "student_t",
                             "multiclass", "softmax", "ordinal"],

@@ -38,9 +38,10 @@ class BuildArgs:
     jitter: float = 1e-6
     use_pallas: bool | str = "auto"
     # leaf kinds rbf | matern12/32/52 | rq | cosine | arccosine[0|2] |
-    # linear | polynomial | periodic | white | constant, composable with
-    # '+'/'*' ("rbf+linear", "rbf*periodic"), each leaf optionally sliced
-    # to active dims ("rbf[0:3]*periodic[3]") — ops/kernels.py parse_kind
+    # linear | polynomial | periodic | white | constant | coregion<C>x<R>,
+    # composable with '+'/'*' ("rbf+linear", "rbf*periodic"), each leaf
+    # optionally sliced to active dims ("rbf[0:3]*periodic[3]"; ICM
+    # multi-task: "rbf[0:3]*coregion4x1[3]") — ops/kernels.py parse_kind
     kernel_kind: str = "rbf"
     amortized: bool = True      # False: per-datapoint q(w) params (small N)
     # observation model (ops/likelihoods.py LIKELIHOOD_KINDS): gaussian,

@@ -1,7 +1,7 @@
 """GP kernels with ARD lengthscales: RBF / Matern family, plus the wider
 gpflow kernel set (RationalQuadratic, Cosine, ArcCosine orders 0/1/2,
-Linear, Polynomial, Periodic, White, Constant) and '+'/'*' combinators in
-the kind string.
+Linear, Polynomial, Periodic, White, Constant, Coregion) and '+'/'*'
+combinators in the kind string.
 
 TPU-native equivalent of gpflow:gpflow/kernels.py as referenced by
 ref:dgps_with_iwvi/layers.py (the reference uses RBF only; the dependency
@@ -142,6 +142,22 @@ LEAF_KINDS = STATIONARY_KINDS + ("linear", "polynomial", "periodic",
 
 ARCCOSINE_ORDERS = {"arccosine0": 0, "arccosine": 1, "arccosine2": 2}
 
+# gpflow Coregion (gpflow:gpflow/kernels.py Coregion): k(i, j) = B[i, j]
+# with B = W W^T + diag(kappa) over integer task indices read from ONE
+# input column. The output dim C and rank R are part of the token —
+# 'coregion3x1[2]' is a 3-task rank-1 coregionalization over column 2 —
+# so the kind string (a jit static) still fully determines the params
+# pytree. Composed with '*' over feature columns it gives the intrinsic
+# coregionalization model: 'rbf[0:2]*coregion3x1[2]'.
+_COREGION_RE = r"coregion(\d+)x(\d+)$"
+
+
+def coregion_shape(name: str) -> tuple | None:
+    """('coregion3x1') -> (3, 1); None when the name is not a coregion."""
+    import re
+    m = re.match(_COREGION_RE, name)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
 
 def parse_kind(kind: str) -> tuple:
     """'a*b+c' -> (('a','b'), ('c',)): sum of products of leaf tokens.
@@ -164,9 +180,9 @@ def split_token(token: str) -> tuple:
     half-open range, '[i,j,...]' an explicit list, '[i]' one column."""
     name, bracket, spec = token.partition("[")
     name = name.strip()
-    if name not in LEAF_KINDS:
+    if name not in LEAF_KINDS and coregion_shape(name) is None:
         raise ValueError(f"unknown kernel kind {name!r} in {token!r}; "
-                         f"leaves: {LEAF_KINDS}")
+                         f"leaves: {LEAF_KINDS} + 'coregion<C>x<R>'")
     if not bracket:
         return name, None
     spec = spec.strip()
@@ -258,6 +274,28 @@ def arccosine_params(input_dim: int, variance: float = 1.0,
     }
 
 
+def coregion_params(output_dim: int, rank: int,
+                    dtype=jnp.float32) -> KernelParams:
+    """gpflow Coregion: B = W W^T + diag(kappa), W: [C, R], kappa: [C] > 0.
+
+    gpflow 1.5 initializes W = 0 — a stationary point of B = W W^T (the
+    gradient through W is 2 (dB) W = 0), which is why its docs tell users
+    to overwrite W by hand. Here W gets a small DETERMINISTIC asymmetric
+    init instead (0.1 cos(i + Rj) pattern) so the off-diagonal structure
+    is trainable out of the box; kappa = 1 matches gpflow."""
+    ij = jnp.arange(output_dim * rank, dtype=dtype).reshape(output_dim, rank)
+    return {
+        "W": 0.1 * jnp.cos(ij),
+        "raw_kappa": positive_inverse(jnp.ones((output_dim,), dtype)),
+    }
+
+
+def coregion_B(params: KernelParams) -> jax.Array:
+    """The [C, C] task-covariance matrix W W^T + diag(kappa)."""
+    W = params["W"]
+    return W @ W.T + jnp.diag(positive(params["raw_kappa"]))
+
+
 def kernel_params(kind: str, input_dim: int, variance: float = 1.0,
                   lengthscales=1.0, ard: bool = True,
                   dtype=jnp.float32) -> KernelParams:
@@ -279,6 +317,13 @@ def _leaf_params(token, input_dim, variance, lengthscales, ard, dtype):
         assert max(dims) < input_dim, \
             f"active dims {dims} out of range for input_dim={input_dim}"
         input_dim = len(dims)  # per-dim params cover the selected columns
+    cr = coregion_shape(kind)
+    if cr is not None:
+        assert input_dim == 1, \
+            (f"{kind} reads ONE integer task column; select it with an "
+             f"active-dims suffix ('{kind}[{input_dim - 1}]') unless the "
+             "kernel input is already 1-D")
+        return coregion_params(*cr, dtype=dtype)
     if kind == "rq":
         return rq_params(input_dim, variance, lengthscales, ard=ard,
                          dtype=dtype)
@@ -349,11 +394,26 @@ def _arccos_moments(params, X, X2=None):
 _ARCCOS_EPS = 1e-6
 
 
+def _coregion_index(X: jax.Array, C: int) -> jax.Array:
+    """[..., N, 1] float task column -> [..., N] clipped integer indices.
+
+    Rounding (not truncation) tolerates non-integral task values from
+    k-means Z initialization; indices are data, not parameters, so the
+    non-differentiability is irrelevant."""
+    return jnp.clip(jnp.round(X[..., 0]), 0, C - 1).astype(jnp.int32)
+
+
 def _leaf_K(params, X, X2, token: str, x_equals_x2: bool) -> jax.Array:
     kind, dims = split_token(token)
     if dims is not None:  # static column selection (gpflow active_dims)
         idx = jnp.asarray(dims)
         X, X2 = X[..., idx], X2[..., idx]
+    cr = coregion_shape(kind)
+    if cr is not None:
+        B = coregion_B(params)                      # [C, C], C small
+        ix = _coregion_index(X, cr[0])              # [..., N]
+        jx = _coregion_index(X2, cr[0])             # [..., M]
+        return B[ix[..., :, None], jx[..., None, :]]
     if kind in STATIONARY_KINDS:
         ls = kernel_lengthscales(params)
         var = kernel_variance(params)
@@ -421,6 +481,12 @@ def _leaf_Kdiag(params, X, token: str) -> jax.Array:
     kind, dims = split_token(token)
     if dims is not None:
         X = X[..., jnp.asarray(dims)]
+    cr = coregion_shape(kind)
+    if cr is not None:
+        ix = _coregion_index(X, cr[0])
+        W = params["W"]
+        return (jnp.sum(jnp.square(W), axis=-1)
+                + positive(params["raw_kappa"]))[ix]
     if kind in STATIONARY_KINDS + ("white", "constant", "periodic"):
         return jnp.broadcast_to(kernel_variance(params), X.shape[:-1])
     if kind in ARCCOSINE_ORDERS:

@@ -34,7 +34,10 @@ COMPOSITES = ["rbf+linear", "rbf*periodic", "rbf*linear+constant",
               "rq*linear+cosine", "arccosine+rbf",
               # active-dims suffixes: different leaves on different columns
               "rbf[0:2]", "rbf[0:2]*periodic[2]", "linear[0,3]+rq[1:3]",
-              "arccosine2[0:2]+white"]
+              "arccosine2[0:2]+white",
+              # coregion reads a task-index column (floats round + clip)
+              "coregion3x2[3]", "rbf[0:3]*coregion4x1[3]",
+              "coregion3x1[0]+linear[1:4]"]
 
 
 def _has_arccos(kind):
@@ -50,6 +53,13 @@ def leaf_reference(params, x, x2, token, same):
     if dims is not None:
         x, x2 = x[:, list(dims)], x2[:, list(dims)]
     pos = lambda r: 1e-6 + np.log1p(np.exp(np.asarray(r)))
+    cr = kernels.coregion_shape(kind)
+    if cr is not None:
+        W = np.asarray(params["W"])
+        B = W @ W.T + np.diag(pos(params["raw_kappa"]))
+        ix = np.clip(np.round(x[:, 0]), 0, cr[0] - 1).astype(int)
+        jx = np.clip(np.round(x2[:, 0]), 0, cr[0] - 1).astype(int)
+        return B[np.ix_(ix, jx)]
     if kind in kernels.STATIONARY_KINDS:
         ls = pos(params["raw_lengthscales"])
         v = pos(params["raw_variance"])
@@ -302,3 +312,100 @@ class TestActiveDims:
         m, _ = predict_y(trained, cfg, Xr, jax.random.PRNGKey(1), 16)
         rmse = float(jnp.sqrt(jnp.mean((m - Yr) ** 2)))
         assert rmse < 0.4, rmse
+
+
+class TestCoregion:
+    """gpflow Coregion (B = W W^T + diag(kappa) over a task-index column;
+    gpflow:gpflow/kernels.py Coregion). 'rbf[...]*coregion<C>x<R>[col]'
+    is the intrinsic coregionalization model; the generic gram/Kdiag/PSD/
+    gradient parity runs in TestGramParity via the COMPOSITES entries."""
+
+    def test_token_parsing(self):
+        assert kernels.coregion_shape("coregion3x2") == (3, 2)
+        assert kernels.coregion_shape("coregion12x4") == (12, 4)
+        assert kernels.coregion_shape("rbf") is None
+        assert kernels.coregion_shape("coregion") is None
+        for bad in ("coregion[0]", "coregionx1[0]", "coregion3x[0]"):
+            with pytest.raises(ValueError):
+                kernels.parse_kind(bad)
+        # the leaf must see exactly one column
+        with pytest.raises(AssertionError):
+            kernels.kernel_params("coregion3x1", D)
+
+    def test_B_and_init(self):
+        p = kernels.coregion_params(4, 2, dtype=jnp.float64)
+        B = np.asarray(kernels.coregion_B(p))
+        W = np.asarray(p["W"])
+        np.testing.assert_allclose(B, W @ W.T + np.diag(
+            1e-6 + np.log1p(np.exp(np.asarray(p["raw_kappa"])))), rtol=1e-12)
+        # deterministic symmetry-breaking init: W trainable out of the box
+        # (gpflow's W = 0 is a stationary point), kappa = 1 as in gpflow
+        assert np.linalg.matrix_rank(W) == 2
+        g = jax.grad(lambda q: jnp.sum(kernels.coregion_B(q) ** 2))(p)
+        assert float(jnp.max(jnp.abs(g["W"]))) > 0.0
+
+    def test_index_rounding_and_clipping(self):
+        """k-means Z gives fractional task values; they round and clip."""
+        p = kernels.coregion_params(3, 1, dtype=jnp.float64)
+        B = np.asarray(kernels.coregion_B(p))
+        x = jnp.asarray([[0.2], [0.9], [2.4], [7.0], [-1.0]], jnp.float64)
+        got = np.asarray(kernels.K(p, x, x, kind="coregion3x1"))
+        idx = np.array([0, 1, 2, 2, 0])
+        np.testing.assert_allclose(got, B[np.ix_(idx, idx)], rtol=1e-12)
+
+    def test_icm_learns_anticorrelated_tasks(self):
+        """Two tasks with y2 = -y1: the ICM kernel must learn a NEGATIVE
+        cross-task covariance and beat the independent-tasks model where
+        task correlation carries the signal."""
+        n_per = 80
+        xs = jnp.linspace(-2.0, 2.0, n_per, dtype=jnp.float64)[:, None]
+        f = jnp.sin(2.0 * xs)
+        rng = np.random.RandomState(3)
+        y0 = f + 0.05 * jnp.asarray(rng.randn(n_per, 1))
+        y1 = -f + 0.05 * jnp.asarray(rng.randn(n_per, 1))
+        X_mt = jnp.concatenate([
+            jnp.concatenate([xs, jnp.zeros_like(xs)], axis=1),
+            jnp.concatenate([xs, jnp.ones_like(xs)], axis=1)])
+        Y_mt = jnp.concatenate([y0, y1])
+        n = 2 * n_per
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=2, d_out=1, num_inducing=24,
+                                  kernel_kind="rbf[0]*coregion2x1[1]",
+                                  mean_function="zero", final=True),),
+            num_data=n, objective="vi")
+        params = init_dgp(KEY, cfg, dtype=jnp.float64)
+        # place inducing points on the real task grid (both tasks)
+        zx = jnp.linspace(-2.0, 2.0, 12, dtype=jnp.float64)[:, None]
+        Z = jnp.concatenate([
+            jnp.concatenate([zx, jnp.zeros_like(zx)], axis=1),
+            jnp.concatenate([zx, jnp.ones_like(zx)], axis=1)])
+        params["layers"][0]["Z"] = Z
+        before = float(elbo(params, cfg, X_mt, Y_mt, KEY))
+        tc = TrainConfig(lr=3e-2, natgrad="final", gamma=5e-3,
+                         minibatch_size=n, iterations=800,
+                         steps_per_call=200)
+        trained, _ = fit(KEY, cfg, params, X_mt, Y_mt, tc)
+        after = float(elbo(trained, cfg, X_mt, Y_mt, KEY))
+        assert after > before, (before, after)
+        B = np.asarray(kernels.coregion_B(
+            trained["layers"][0]["kernel"]["terms"][0][1]))
+        assert B[0, 1] < 0.0, B  # anticorrelation learned
+        m, _ = predict_y(trained, cfg, X_mt, jax.random.PRNGKey(1), 16)
+        rmse = float(jnp.sqrt(jnp.mean((m - Y_mt) ** 2)))
+        assert rmse < 0.25, rmse
+
+    def test_builder_e2e(self):
+        """BuildArgs carries the ICM kind string through unchanged."""
+        Xr = jnp.concatenate([
+            jnp.asarray(RNG.randn(40, 1)),
+            jnp.asarray(RNG.randint(0, 3, (40, 1)).astype(np.float64))],
+            axis=1)
+        Yr = jnp.asarray(RNG.randn(40, 1))
+        cfg, params = build_model(
+            KEY, BuildArgs(configuration="G",
+                           kernel_kind="rbf[0]*coregion3x1[1]",
+                           num_inducing=8), Xr, Yr)
+        v = float(elbo(params, cfg, Xr, Yr, KEY))
+        assert np.isfinite(v)
+        kp = params["layers"][0]["kernel"]["terms"][0][1]
+        assert kp["W"].shape == (3, 1) and kp["raw_kappa"].shape == (3,)
