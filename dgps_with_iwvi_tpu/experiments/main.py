@@ -132,6 +132,15 @@ def parse_args(argv=None):
                         "identity skips between inner layers); 'constant'/"
                         "'linear' are gpflow's TRAINABLE Constant / "
                         "Linear(A, b), Adam-optimized")
+    p.add_argument("--feature", default="points",
+                   choices=["points", "multiscale"],
+                   help="inducing-feature family (ops/features.py): "
+                        "'multiscale' gives every inducing point a "
+                        "trainable Gaussian window (gpflow Multiscale; "
+                        "RBF kernel only)")
+    p.add_argument("--feature_init_scale", type=float, default=0.1,
+                   help="multiscale window init width (0-ish starts at "
+                        "plain inducing points)")
     p.add_argument("--non_amortized", action="store_true",
                    help="per-datapoint q(w) instead of the encoder (small N)")
     p.add_argument("--no_white", action="store_true",
@@ -193,6 +202,7 @@ def run(args) -> dict:
         num_classes=args.num_classes, mean_function=args.mean_function,
         white=not args.no_white, q_diag=args.q_diag,
         priors=tuple(parse_prior_flag(s) for s in args.prior),
+        feature=args.feature, feature_init_scale=args.feature_init_scale,
         var_precision=args.var_precision,
         solve_precision=args.solve_precision)
     if args.gram_bwd_relax or args.gram_fwd_precision != "highest":

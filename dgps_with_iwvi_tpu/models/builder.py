@@ -70,6 +70,11 @@ class BuildArgs:
     # hyperparameter priors: tuple of (path_suffix, kind, a, b) specs
     # (see ops/priors.py); () = off, matching the reference defaults
     priors: tuple = ()
+    # inducing-feature family on every GP layer (ops/features.py):
+    # 'points' (reference behavior) | 'multiscale' (trainable Gaussian
+    # windows, RBF kernel only)
+    feature: str = "points"
+    feature_init_scale: float = 0.1
     # q-variance matmul MXU precision (see DGPConfig.var_precision)
     var_precision: str = "default"
     # conditional solve-path matmul precision (see DGPConfig.solve_precision)
@@ -200,7 +205,9 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
             layer_cfgs.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=args.num_inducing,
                 kernel_kind=args.kernel_kind, final=final, white=args.white,
-                q_diag=args.q_diag, mean_function=args.mean_function))
+                q_diag=args.q_diag, mean_function=args.mean_function,
+                feature=args.feature,
+                feature_init_scale=args.feature_init_scale))
             width = d_out
     return DGPConfig(
         layers=tuple(layer_cfgs),

@@ -156,7 +156,7 @@ def prefactor_gp_layers(params, config: DGPConfig) -> dict:
     cholesky_with_jitter + ONE batched triangular solve costs a single
     call each. Returns {layer_id: (Lm, Linv)}.
     """
-    from ..ops import kernels as _kern
+    from .layers import layer_Kuu
 
     groups: dict = {}
     for i, cfg in enumerate(config.layers):
@@ -165,9 +165,7 @@ def prefactor_gp_layers(params, config: DGPConfig) -> dict:
     out = {}
     for m, ids in groups.items():
         Kuus = jnp.stack([
-            _kern.K(params["layers"][i]["kernel"], params["layers"][i]["Z"],
-                    params["layers"][i]["Z"], kind=config.layers[i].kernel_kind)
-            for i in ids])
+            layer_Kuu(params["layers"][i], config.layers[i]) for i in ids])
         # chol_and_inverse: one batched factorization + one batched solve
         # forward; backward is pure batched matmuls (no triangular-solve
         # custom calls on the reverse path — see ops/linalg.py)
@@ -350,7 +348,13 @@ def predict_f_full_cov(params, config: DGPConfig, X: jax.Array,
     Lm, _ = factors[final_i]
 
     def per_sample(Fs):
-        Kuf = _kern.K(fp["kernel"], fp["Z"], Fs, kind=fcfg.kernel_kind)
+        scales = fp.get("raw_Z_scales")  # multiscale features (Kff unchanged)
+        if scales is not None:
+            from ..ops import features as _feat
+
+            Kuf = _feat.multiscale_Kuf(fp["kernel"], fp["Z"], scales, Fs)
+        else:
+            Kuf = _kern.K(fp["kernel"], fp["Z"], Fs, kind=fcfg.kernel_kind)
         Kff = _kern.K(fp["kernel"], Fs, Fs, kind=fcfg.kernel_kind)
         out = _cond.base_conditional_whitened_fullcov(
             Kuf, Lm, Kff, fp["q_mu"], q_sqrt, white=fcfg.white)

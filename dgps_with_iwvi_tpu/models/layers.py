@@ -62,6 +62,12 @@ class GPLayerConfig:
                           # cheaper family; natgrad supported via the
                           # elementwise variance-form family
                           # (training/natgrad.py, tests/test_qdiag.py)
+    # inducing-feature family (ops/features.py, gpflow:gpflow/features.py):
+    # 'points' (plain inducing points — the reference's only feature) or
+    # 'multiscale' (Gaussian-window inter-domain features; RBF only; adds
+    # trainable per-point-per-dim raw_Z_scales, optimized by Adam).
+    feature: str = "points"
+    feature_init_scale: float = 0.1  # multiscale window init (0 -> points)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,6 +127,15 @@ def gp_layer_init(
         "q_mu": jnp.zeros((cfg.num_inducing, cfg.d_out), dtype),
         "q_sqrt": q_sqrt0,
     }
+    if cfg.feature == "multiscale":
+        from ..ops import features as _features
+
+        assert cfg.kernel_kind == "rbf", \
+            "multiscale inducing features are defined for the RBF kernel only"
+        params["raw_Z_scales"] = _features.multiscale_scales_init(
+            cfg.num_inducing, cfg.d_in, cfg.feature_init_scale, dtype)
+    else:
+        assert cfg.feature == "points", cfg.feature
     mf = resolved_mean_function(cfg)
     assert mf in ("zero", "skip", "linear", "constant"), mf
     if mf == "skip":
@@ -197,9 +212,12 @@ def gp_layer_propagate(
                   else jnp.tril(params["q_sqrt"]))
     if use_pallas == "auto":
         use_pallas = False  # measured: XLA >= pallas at every shape (docs/PALLAS_SWEEP.md)
+    feat_scales = params.get("raw_Z_scales")  # multiscale features
+    if feat_scales is not None:
+        use_pallas = False  # Pallas kernels assume plain-points grams
     # inference-only fully-fused conditional (prediction traces; see
     # ops/conditionals.py SERVE_PALLAS): nothing [M, cols]-sized hits HBM
-    serve_fused = (not cfg.q_diag and q_cov is None
+    serve_fused = (not cfg.q_diag and q_cov is None and feat_scales is None
                    and conditionals._serve_fused_applicable(
                        F, params["Z"], q_sqrt, q_cov, cfg.kernel_kind,
                        cfg.white, var_precision, solve_precision))
@@ -223,7 +241,7 @@ def gp_layer_propagate(
             kernel_kind=cfg.kernel_kind, jitter=jitter, use_pallas=use_pallas,
             jitter_tries=jitter_tries, white=cfg.white,
             var_precision=var_precision, solve_precision=solve_precision,
-            Lm=Lm, Linv=Linv, q_S=q_cov)
+            Lm=Lm, Linv=Linv, q_S=q_cov, feature_raw_scales=feat_scales)
     mf_kind = resolved_mean_function(cfg)
     if mf_kind == "skip":
         W = params.get("mean_W")
@@ -251,6 +269,20 @@ def gp_layer_propagate(
     return sample, (mean, out.var)
 
 
+def layer_Kuu(params, cfg: GPLayerConfig) -> jax.Array:
+    """[M, M] prior covariance of this layer's inducing variables —
+    feature-aware (plain gram for 'points', window-integral covariance for
+    'multiscale'). The single place Kuu is defined for a layer; the KL and
+    dgp.prefactor_gp_layers both go through it."""
+    scales = params.get("raw_Z_scales")
+    if scales is not None:
+        from ..ops import features as _features
+
+        return _features.multiscale_Kuu(params["kernel"], params["Z"], scales)
+    return kernels.K(params["kernel"], params["Z"], params["Z"],
+                     kind=cfg.kernel_kind)
+
+
 def gp_layer_kl(params, cfg: GPLayerConfig,
                 jitter: float = linalg.DEFAULT_JITTER,
                 jitter_tries: int = 4,
@@ -274,8 +306,7 @@ def gp_layer_kl(params, cfg: GPLayerConfig,
                 params["q_cov_Sinv"])
         return kl.gauss_kl_white(params["q_mu"], jnp.tril(params["q_sqrt"]))
     if Lm is None:
-        Kuu = kernels.K(params["kernel"], params["Z"], params["Z"],
-                        kind=cfg.kernel_kind)
+        Kuu = layer_Kuu(params, cfg)
         Lm = linalg.cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
     if q_cov is not None:
         return kl.gauss_kl_cov(params["q_mu"], q_cov,

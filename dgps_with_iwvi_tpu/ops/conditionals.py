@@ -474,17 +474,40 @@ def conditional(
     var_precision: str | None = None,
     q_S: jax.Array | None = None,
     solve_precision: str | None = None,
+    feature_raw_scales: jax.Array | None = None,
 ) -> ConditionalOut:
     """End-to-end whitened conditional: grams -> chol -> solve -> (mean, var).
 
     Pass a precomputed ``Lm`` to share the Kuu Cholesky across calls within
     one step (e.g. training + KL both need it).
 
+    feature_raw_scales: raw [M, D] Multiscale window scales
+    (ops/features.py) — Kuu/Kuf become the window-integral covariances
+    (RBF only); Kff and everything downstream of (Kuu, Kuf) is unchanged.
+
     use_pallas=True routes the gram+solve+moments pipeline through the fused
     TPU kernel (ops/pallas/conditional.py): Kuf and A stay in VMEM and the
     triangular solve becomes a Linv matmul on the MXU. RBF only; falls back
     to the XLA path for other kernels. Interpreted (slow, exact) off-TPU.
     """
+    if feature_raw_scales is not None:
+        from . import features as _feat  # deferred: import cycle
+
+        assert kernel_kind == "rbf", \
+            "multiscale features are defined for the RBF kernel only"
+        if Lm is None:
+            Kuu = _feat.multiscale_Kuu(kernel_params, Z, feature_raw_scales)
+            Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
+        Kuf = _feat.multiscale_Kuf(kernel_params, Z, feature_raw_scales, X)
+        Kff_diag = kernels.Kdiag(kernel_params, X, kind=kernel_kind)
+        if white:
+            return base_conditional_whitened(
+                Kuf, Lm, Kff_diag, q_mu, q_sqrt,
+                var_precision=var_precision, Linv=Linv, q_S=q_S,
+                solve_precision=solve_precision)
+        return base_conditional(Kuf, Lm, Kff_diag, q_mu, q_sqrt, white=white,
+                                var_precision=var_precision, q_S=q_S,
+                                solve_precision=solve_precision)
     if Lm is None:
         Kuu = kernels.K(kernel_params, Z, Z, kind=kernel_kind)
         Lm = cholesky_with_jitter(Kuu, jitter, max_tries=jitter_tries)
