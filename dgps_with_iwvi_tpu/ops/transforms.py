@@ -30,8 +30,14 @@ def positive(raw: jax.Array, lower: float = DEFAULT_POSITIVE_LOWER) -> jax.Array
 
 def positive_inverse(value, lower: float = DEFAULT_POSITIVE_LOWER) -> jax.Array:
     """Inverse of :func:`positive`; use to initialize raw params from
-    constrained values. softplus^-1(y) = y + log(1 - exp(-y)), stable form."""
+    constrained values. softplus^-1(y) = y + log(1 - exp(-y)), stable form.
+
+    Values at or below ``lower`` are unreachable through the shifted
+    softplus; they clamp to a tiny positive excess (raw ~ -46) instead of
+    producing NaN, so ``positive(positive_inverse(v)) == max(v, ~lower)``.
+    """
     y = jnp.asarray(value) - lower
+    y = jnp.maximum(y, jnp.asarray(1e-20, jnp.result_type(y)))
     # softplus inverse, numerically stable for small and large y.
     return y + jnp.log(-jnp.expm1(-y))
 

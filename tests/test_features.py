@@ -85,13 +85,16 @@ class TestMultiscaleMath:
         X = jnp.asarray(rng.normal(size=(N, D)))
         kp = kernels.rbf_params(D, variance=1.4, lengthscales=0.8,
                                 dtype=Z.dtype)
+        # The shifted softplus floors scales at ~1e-6, so the reduction is
+        # to within that floor, not exact (positive_inverse clamps rather
+        # than NaN-ing below the bound).
         raw = positive_inverse(jnp.full((M, D), 1e-9, Z.dtype))
         np.testing.assert_allclose(
             np.asarray(features.multiscale_Kuu(kp, Z, raw)),
-            np.asarray(kernels.K(kp, Z, Z)), rtol=1e-6, atol=1e-7)
+            np.asarray(kernels.K(kp, Z, Z)), rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(features.multiscale_Kuf(kp, Z, raw, X)),
-            np.asarray(kernels.K(kp, Z, X)), rtol=1e-6, atol=1e-7)
+            np.asarray(kernels.K(kp, Z, X)), rtol=1e-4, atol=1e-6)
 
     def test_kuu_psd_and_batched_kuf(self):
         rng = np.random.default_rng(3)
@@ -149,13 +152,25 @@ class TestMultiscaleModel:
             if isinstance(cfg, GPLayerConfig):
                 assert "raw_Z_scales" in lp
 
+        # At the whitened prior init (q_mu=0, q_sqrt=I) the conditional IS
+        # the prior — var = Kdiag - sum(A^2) + sum((I A)^2) = Kdiag exactly
+        # — so the data term is independent of Z/kernel/scales and their
+        # gradients are genuinely zero. Randomize q(u) off the degenerate
+        # point before asserting the scales are live.
+        for i, lp in enumerate(params["layers"]):
+            if "q_mu" in lp:
+                lp["q_mu"] = 0.3 * jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(7), i),
+                    lp["q_mu"].shape, lp["q_mu"].dtype)
+
         key = jax.random.PRNGKey(1)
         val, g = jax.value_and_grad(
             lambda p: elbo(p, config, X, Y, key))(params)
         assert np.isfinite(float(val))
-        g0 = g["layers"][0]["raw_Z_scales"]
-        assert np.all(np.isfinite(np.asarray(g0)))
-        assert float(jnp.max(jnp.abs(g0))) > 0.0
+        for i in (0, 1):
+            gi = g["layers"][i]["raw_Z_scales"]
+            assert np.all(np.isfinite(np.asarray(gi)))
+            assert float(jnp.max(jnp.abs(gi))) > 0.0, i
 
     def test_nonwhitened_multiscale_elbo_finite(self):
         config, params, X, Y = _small_model(white=False)
@@ -170,7 +185,7 @@ class TestMultiscaleModel:
                          minibatch_size=32, iterations=60, steps_per_call=30)
         key = jax.random.PRNGKey(3)
         before = float(elbo(params, config, X, Y, key))
-        trained, _ = fit(params, config, tc, X, Y, key)
+        trained, _ = fit(key, config, params, X, Y, tc)
         after = float(elbo(trained, config, X, Y, key))
         assert after > before, (before, after)
         moved = jnp.max(jnp.abs(trained["layers"][0]["raw_Z_scales"]

@@ -43,14 +43,19 @@ def _random_config(rng: random.Random):
             n_lv += 1
         else:
             d_out = rng.choice([2, 5])
+            kind = rng.choice(["rbf", "matern32", "matern52"])
             layers.append(GPLayerConfig(
                 d_in=width, d_out=d_out, num_inducing=rng.choice([3, 6]),
-                kernel_kind=rng.choice(["rbf", "matern32", "matern52"]),
-                white=white, q_diag=q_diag))
+                kernel_kind=kind, white=white, q_diag=q_diag,
+                feature=("multiscale" if kind == "rbf"
+                         and rng.random() < 0.3 else "points")))
             width = d_out
+    fkind = rng.choice(["rbf", "matern32", "matern52"])
     layers.append(GPLayerConfig(
         d_in=width, d_out=d_y, num_inducing=rng.choice([3, 6]),
-        final=True, white=white, q_diag=q_diag,
+        final=True, white=white, q_diag=q_diag, kernel_kind=fkind,
+        feature=("multiscale" if fkind == "rbf" and rng.random() < 0.3
+                 else "points"),
         mean_function=rng.choice(["skip", "zero", "auto"])))
     likelihood = rng.choice(["gaussian", "gaussian", "bernoulli"])
     cfg = DGPConfig(
