@@ -11,11 +11,43 @@ chunks (padded so every chunk hits the same compiled program).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models import dgp
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_eval_fn(config, num_samples: int, sharded: bool):
+    """Jitted one-propagate scorer, cached on (config, S, sharded).
+
+    Hoisted out of evaluate() so repeat calls with the same model config
+    (the 40-run suite, eval-in-training-loop monitors) reuse the compiled
+    program instead of paying a fresh trace per invocation.
+    """
+
+    @jax.jit
+    def batch_eval(params, xb, yb, k):
+        # one propagate for BOTH the density and the moments (identical
+        # results to separate predict_log_density/predict_y calls with the
+        # same key, at half the compute)
+        import contextlib
+
+        from ..ops.conditionals import qvar_pallas_disabled
+
+        # GSPMD cannot auto-partition a Mosaic custom call: under a mesh,
+        # the fused q-variance kernel would force replication (or fail to
+        # shard) — keep the sharded path pure-XLA
+        ctx = qvar_pallas_disabled() if sharded else contextlib.nullcontext()
+        with ctx:
+            (mean, _), ld = dgp.predict_y_and_log_density(
+                params, config, xb, yb, k, num_samples)
+        return ld, mean
+
+    return batch_eval
 
 
 def shard_eval_batch(mesh, xb, yb):
@@ -77,22 +109,7 @@ def evaluate(
         bs += (-bs) % mesh.devices.size  # device-count multiple
         params = replicate_for_eval(mesh, params)
 
-    @jax.jit
-    def batch_eval(params, xb, yb, k):
-        # one propagate for BOTH the density and the moments (identical
-        # results to separate predict_log_density/predict_y calls with the
-        # same key, at half the compute)
-        from ..ops.conditionals import qvar_pallas_disabled
-        import contextlib
-        # GSPMD cannot auto-partition a Mosaic custom call: under a mesh,
-        # the fused q-variance kernel would force replication (or fail to
-        # shard) — keep the sharded path pure-XLA
-        ctx = qvar_pallas_disabled() if mesh is not None \
-            else contextlib.nullcontext()
-        with ctx:
-            (mean, _), ld = dgp.predict_y_and_log_density(
-                params, config, xb, yb, k, num_samples)
-        return ld, mean
+    batch_eval = _batch_eval_fn(config, num_samples, mesh is not None)
 
     outs = []
     for start in range(0, n, bs):
@@ -128,6 +145,25 @@ def evaluate(
             "test_rmse_normalized": float("nan"),
             "test_accuracy": acc,
         }
+    if likelihood == "switched_gaussian":
+        # Y = [targets..., task_index]; model outputs are target-width.
+        # Trains on unstandardized (or user-standardized) targets like the
+        # other non-gaussian families — no un-normalization — and reports
+        # per-task NLL alongside the pooled metrics (the multi-task quality
+        # readout the Coregion+Switched idiom is for).
+        tasks = np.round(ys[:, -1]).astype(int)
+        errs_t = means - ys[:, :-1]
+        ld_all = np.concatenate(lds)
+        out = {
+            "test_loglik": ld_norm,
+            "test_rmse": float(np.sqrt(np.mean(np.sum(errs_t ** 2, -1)))),
+            "test_loglik_normalized": ld_norm,
+            "test_rmse_normalized": float(
+                np.sqrt(np.mean(np.sum(errs_t ** 2, -1)))),
+        }
+        for t in np.unique(tasks):
+            out[f"test_loglik_task_{t}"] = float(ld_all[tasks == t].mean())
+        return out
     errs = means - ys                                   # in model units
     rmse_norm = float(np.sqrt(np.mean(np.sum(errs ** 2, -1))))
     if likelihood not in ("gaussian", "student_t"):

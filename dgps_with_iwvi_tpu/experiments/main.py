@@ -75,9 +75,12 @@ def parse_args(argv=None):
                         "multiclass/ordinal the label-preserving loaders "
                         "(ordinal shares the quantile-binned loader — its "
                         "classes ARE ordered). The count/positive/interval "
-                        "families (poisson, exponential, gamma, beta) are "
-                        "library-level (models.BuildArgs) since UCI "
-                        "targets are real-valued")
+                        "families (poisson, exponential, gamma, beta) and "
+                        "the multi-task switched_gaussian (per-task noise, "
+                        "task index in Y's last column — pair with a "
+                        "coregion kernel) are library-level "
+                        "(models.BuildArgs) since UCI targets are "
+                        "real-valued single-task")
     p.add_argument("--num_classes", type=int, default=3,
                    help="multiclass/ordinal: number of classes C")
     p.add_argument("--pallas", default="auto",

@@ -57,6 +57,11 @@ class BuildArgs:
     # without num_classes gets the same model the CLI would build on the
     # 3-class synthetic surrogate.
     num_classes: int = 3
+    # switched_gaussian only: number of tasks T (one trainable noise
+    # variance per task; Y's LAST column holds the integer task index).
+    # 0 = infer T from the kernel's coregion token ('coregion<C>x<R>'),
+    # the usual ICM pairing.
+    num_tasks: int = 0
     jitter_tries: int = 4
     # GP-layer mean function: 'auto' (reference convention — Zero on the
     # final layer, fixed identity/truncated-identity skip between inner
@@ -171,6 +176,19 @@ def kmeans_centers(X: jax.Array, k: int, iters: int = 20,
     return centers
 
 
+def _infer_num_tasks(kernel_kind: str) -> int:
+    """T from the first coregion leaf of the kind string ('coregion<C>x<R>'
+    -> C); used when BuildArgs.num_tasks is 0 — the ICM pairing where the
+    kernel's task count IS the likelihood's."""
+    import re
+
+    m = re.search(r"coregion(\d+)x\d+", kernel_kind)
+    assert m, ("switched_gaussian with num_tasks=0 needs a coregion leaf in "
+               f"kernel_kind to infer the task count (got {kernel_kind!r}); "
+               "set BuildArgs.num_tasks explicitly otherwise")
+    return int(m.group(1))
+
+
 def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfig:
     """Parse the configuration string into a static DGPConfig."""
     tokens = args.configuration.upper()
@@ -184,6 +202,10 @@ def build_config(args: BuildArgs, d_x: int, d_y: int, num_data: int) -> DGPConfi
         d_out_final = args.num_classes
     elif args.likelihood == "ordinal":
         assert d_y == 1, "ordinal expects integer labels in one Y column"
+    elif args.likelihood == "switched_gaussian":
+        assert d_y >= 2, ("switched_gaussian expects Y = [targets..., "
+                          "task_index] — at least 2 columns")
+        d_out_final = d_y - 1
     inner_dim = min(d_x, args.inner_dim_cap)
     layer_cfgs: list = []
     width = d_x
@@ -270,6 +292,9 @@ def build_model(key: jax.Array, args: BuildArgs, X: jax.Array, Y: jax.Array):
             Z_inits.append(Z)
     lk_kwargs = ({"num_classes": args.num_classes}
                  if args.likelihood == "ordinal" else None)
+    if args.likelihood == "switched_gaussian":
+        T = args.num_tasks or _infer_num_tasks(args.kernel_kind)
+        lk_kwargs = {"num_tasks": T}
     params = init_dgp(
         kinit, config, Z_inits=Z_inits,
         noise_variance=args.noise_variance_init, dtype=X.dtype,

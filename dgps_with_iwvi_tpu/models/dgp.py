@@ -416,11 +416,14 @@ def predict_y_samples(params, config: DGPConfig, X: jax.Array,
 
 
 def predict_y(params, config: DGPConfig, X: jax.Array, key: jax.Array,
-              num_samples: int | None = None):
-    """Mixture predictive moments: mean/var of (1/S) sum_s N(m_s, v_s + s2)."""
+              num_samples: int | None = None, Y: jax.Array | None = None):
+    """Mixture predictive moments: mean/var of (1/S) sum_s N(m_s, v_s + s2).
+
+    Y is needed only by 'switched_gaussian' (its per-point noise is indexed
+    by the task column, Y[:, -1])."""
     fmean, fvar = predict_f(params, config, X, key, num_samples)
     m, v = likelihoods.dispatch_predict_mean_and_var(
-        params["likelihood"], fmean, fvar, kind=config.likelihood)
+        params["likelihood"], fmean, fvar, kind=config.likelihood, y=Y)
     mix_mean = jnp.mean(m, axis=0)
     mix_var = jnp.mean(v + jnp.square(m), axis=0) - jnp.square(mix_mean)
     return mix_mean, mix_var
@@ -450,7 +453,7 @@ def predict_y_and_log_density(params, config: DGPConfig, X: jax.Array,
     S = num_samples or config.num_samples
     fmean, fvar = predict_f(params, config, X, key, S)
     m, v = likelihoods.dispatch_predict_mean_and_var(
-        params["likelihood"], fmean, fvar, kind=config.likelihood)
+        params["likelihood"], fmean, fvar, kind=config.likelihood, y=Y)
     mix_mean = jnp.mean(m, axis=0)
     mix_var = jnp.mean(v + jnp.square(m), axis=0) - jnp.square(mix_mean)
     logp = likelihoods.dispatch_predict_density(

@@ -683,9 +683,71 @@ def softmax_predict_density(params, fmean, fvar, y, n_points=None):
 
 # ------------------------------------------------------------ dispatch ----
 
+# --------------------------------------------------------------------------
+# Switched Gaussian: per-task noise variance (SwitchedLikelihood analog).
+#
+# The reference stack pairs the Coregion kernel with gpflow's
+# SwitchedLikelihood (gpflow:gpflow/likelihoods.py, end of file) so each
+# task of a multi-task (ICM) model gets its own likelihood parameters. Same
+# convention here: Y's LAST column holds the integer task index t in
+# [0, T), the remaining columns are the targets, and every density uses
+# noise variance s2[t]. The kernel side reads its task column from X
+# ('coregion<C>x<R>[col]', ops/kernels.py) — together they are the full
+# gpflow coregionalization idiom.
+# --------------------------------------------------------------------------
+
+
+def switched_gaussian_params(num_tasks: int, noise_variance: float = 0.05,
+                             dtype=jnp.float32) -> LikelihoodParams:
+    """One trainable noise variance per task, all initialized equal."""
+    assert num_tasks >= 1
+    return {"raw_noise_variance": positive_inverse(
+        jnp.full((num_tasks,), noise_variance, dtype))}
+
+
+def _switched_split(params, y):
+    """(targets [..., N, D-1], per-point s2 [..., N, 1]) from task-tagged y."""
+    s2_all = positive(params["raw_noise_variance"])        # [T]
+    T = s2_all.shape[0]
+    ix = jnp.clip(jnp.round(y[..., -1]).astype(jnp.int32), 0, T - 1)
+    return y[..., :-1], jnp.take(s2_all, ix)[..., None]
+
+
+def switched_variational_expectations(params, mean, var, y):
+    """Analytic Gaussian VE with task-indexed noise; y carries the task
+    index in its last column, mean/var are target-width ([..., N, D-1])."""
+    yt, s2 = _switched_split(params, y)
+    per_dim = -0.5 * (_LOG2PI + jnp.log(s2)
+                      + (jnp.square(yt - mean) + var) / s2)
+    return jnp.sum(per_dim, axis=-1)
+
+
+def switched_predict_mean_and_var(params, fmean, fvar, y=None):
+    """Observation moments need the task index: pass y (task-tagged, as in
+    training) — without it the per-point noise is undefined (gpflow's
+    SwitchedLikelihood raises here too)."""
+    if y is None:
+        raise ValueError(
+            "switched_gaussian predict_mean_and_var needs the task-tagged y "
+            "(task index in the last column) to pick each point's noise — "
+            "use predict_y_and_log_density / evaluate, which pass it")
+    _, s2 = _switched_split(params, y)
+    return fmean, fvar + s2
+
+
+def switched_predict_density(params, fmean, fvar, y):
+    yt, s2 = _switched_split(params, y)
+    v = fvar + s2
+    per_dim = -0.5 * (_LOG2PI + jnp.log(v) + jnp.square(yt - fmean) / v)
+    return jnp.sum(per_dim, axis=-1)
+
+
 _FAMILIES = {
     "gaussian": (variational_expectations, predict_mean_and_var,
                  predict_density),
+    "switched_gaussian": (switched_variational_expectations,
+                          switched_predict_mean_and_var,
+                          switched_predict_density),
     "bernoulli": (bernoulli_variational_expectations,
                   bernoulli_predict_mean_and_var, bernoulli_predict_density),
     "student_t": (student_t_variational_expectations,
@@ -718,6 +780,9 @@ def init_params(kind: str = "gaussian", noise_variance: float = 0.05,
     applies to the Gaussian."""
     if kind == "gaussian":
         return gaussian_params(noise_variance, dtype)
+    if kind == "switched_gaussian":
+        return switched_gaussian_params(noise_variance=noise_variance,
+                                        dtype=dtype, **family_kwargs)
     if kind == "bernoulli":
         return bernoulli_params(dtype)
     if kind == "student_t":
@@ -746,7 +811,11 @@ def dispatch_variational_expectations(params, mean, var, y, *,
 
 
 def dispatch_predict_mean_and_var(params, fmean, fvar, *,
-                                  kind: str = "gaussian"):
+                                  kind: str = "gaussian", y=None):
+    """y (task-tagged labels) is consumed ONLY by 'switched_gaussian',
+    whose per-point noise is task-indexed; other families ignore it."""
+    if kind == "switched_gaussian":
+        return _FAMILIES[kind][1](params, fmean, fvar, y)
     return _FAMILIES[kind][1](params, fmean, fvar)
 
 
@@ -762,6 +831,11 @@ def dispatch_sample_observations(params, key: jax.Array, fs: jax.Array, *,
     if kind == "gaussian":
         s2 = noise_variance(params)
         return fs + jnp.sqrt(s2) * jax.random.normal(key, fs.shape, fs.dtype)
+    if kind == "switched_gaussian":
+        raise ValueError(
+            "switched_gaussian observation sampling needs per-point task "
+            "indices; draw f with predict_f_samples and add "
+            "N(0, s2[task]) noise for your task assignment")
     if kind == "bernoulli":
         p = jax.scipy.stats.norm.cdf(fs)
         return jax.random.bernoulli(key, p).astype(fs.dtype)

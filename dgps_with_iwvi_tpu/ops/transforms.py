@@ -32,14 +32,20 @@ def positive_inverse(value, lower: float = DEFAULT_POSITIVE_LOWER) -> jax.Array:
     """Inverse of :func:`positive`; use to initialize raw params from
     constrained values. softplus^-1(y) = y + log(1 - exp(-y)), stable form.
 
-    Values at or below ``lower`` are unreachable through the shifted
-    softplus; they clamp to a tiny positive excess (raw ~ -46) instead of
-    producing NaN, so ``positive(positive_inverse(v)) == max(v, ~lower)``.
+    Values in ``[0, lower]`` are unreachable through the shifted softplus;
+    they clamp to a tiny positive excess (raw ~ -46) instead of producing
+    NaN, so ``positive(positive_inverse(v)) == max(v, ~lower)`` — the
+    round-trip recovers a requested value only to within the ``lower``
+    floor. NEGATIVE inputs are invalid initializations (not merely
+    unreachable) and map to NaN so caller bugs surface instead of being
+    silently coerced to a near-zero parameter.
     """
-    y = jnp.asarray(value) - lower
+    v = jnp.asarray(value)
+    y = v - lower
     y = jnp.maximum(y, jnp.asarray(1e-20, jnp.result_type(y)))
     # softplus inverse, numerically stable for small and large y.
-    return y + jnp.log(-jnp.expm1(-y))
+    raw = y + jnp.log(-jnp.expm1(-y))
+    return jnp.where(v < 0, jnp.nan, raw)
 
 
 def vec_to_tril(vec: jax.Array, n: int) -> jax.Array:

@@ -66,7 +66,10 @@ def _sharded_objective(params, config: dgp.DGPConfig, xb, yb, idx, key,
         datafit = jnp.sum(iw)
         local_kl_term = 0.0
     else:
-        S_local = max(config.num_samples // n_k, 1)
+        # divisibility is asserted in make_parallel_trainer; an uneven split
+        # here would silently run a different (lower-variance) S_global
+        # estimator than the single-device S run
+        S_local = config.num_samples // n_k
         S_global = S_local * n_k
         fmean, fvar, _, local_kl = dgp.propagate(
             params, config, xb, key, (S_local,),
@@ -116,6 +119,11 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
     if config.objective == "iw":
         assert config.num_iw_samples % n_k == 0, \
             f"K={config.num_iw_samples} must divide over n_k={n_k}"
+    else:
+        assert config.num_samples % n_k == 0, \
+            (f"S={config.num_samples} must divide over n_k={n_k}: an uneven "
+             "split would change the VI estimator's effective sample count "
+             "vs the single-device run")
     layer_ids = ng.natgrad_layer_ids(config, tc.natgrad)
     adam = optax.adam(tc.lr)
     B_local = max(tc.minibatch_size // n_dp, 1)

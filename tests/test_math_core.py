@@ -36,6 +36,17 @@ class TestTransforms:
         raw = jnp.array([-1e4], jnp.float64)
         assert transforms.positive(raw) >= transforms.DEFAULT_POSITIVE_LOWER
 
+    def test_positive_inverse_clamps_zero_but_rejects_negative(self):
+        # [0, lower] is unreachable -> clamp to the lower floor (documented);
+        # negative is an invalid init -> NaN so the caller bug surfaces.
+        raw = transforms.positive_inverse(jnp.array([0.0, 1e-9], jnp.float64))
+        out = transforms.positive(raw)
+        assert bool(jnp.all(jnp.isfinite(raw)))
+        np.testing.assert_allclose(
+            out, transforms.DEFAULT_POSITIVE_LOWER, rtol=1e-3)
+        bad = transforms.positive_inverse(jnp.array([-1.0], jnp.float64))
+        assert bool(jnp.all(jnp.isnan(bad)))
+
     def test_tril_pack_roundtrip(self):
         n = 5
         L = jnp.tril(_rand(KEY, n, n))

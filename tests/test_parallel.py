@@ -59,7 +59,9 @@ class TestShardedParity:
         cfg = DGPConfig(
             layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
                                   mean_function="zero", final=True),),
-            num_data=X.shape[0], objective="vi")
+            # S=2 divides over n_k=2 (asserted since r4); the model is
+            # deterministic, so the reference S=1 elbo below is identical
+            num_data=X.shape[0], objective="vi", num_samples=2)
         params = init_dgp(KEY, cfg, dtype=jnp.float64)
         tc = TrainConfig(lr=1e-2, natgrad="final", minibatch_size=32,
                          iterations=1, steps_per_call=1)
@@ -154,6 +156,18 @@ class TestShardedParity:
         with pytest.raises(AssertionError):
             make_parallel_trainer(cfg, TrainConfig(), mesh)
 
+    def test_vi_s_must_divide(self):
+        """S=1 over n_k=2 must refuse, not silently run S_global=2 (a
+        different, lower-variance VI estimator than the single-device run)."""
+        import pytest
+
+        mesh = make_mesh(2, 2)
+        cfg = DGPConfig(
+            layers=(GPLayerConfig(d_in=2, d_out=1, num_inducing=4, final=True),),
+            num_data=10, objective="vi", num_samples=1)
+        with pytest.raises(AssertionError):
+            make_parallel_trainer(cfg, TrainConfig(), mesh)
+
     def test_sharded_gamma_warmup_matches_single_device_schedule(self):
         """At step 0 with warm-up on, the sharded natgrad step must use
         gamma_start (not full gamma) — regression for the silently-ignored
@@ -164,7 +178,7 @@ class TestShardedParity:
         cfg = DGPConfig(
             layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
                                   mean_function="zero", final=True),),
-            num_data=X.shape[0], objective="vi")
+            num_data=X.shape[0], objective="vi", num_samples=2)
         params = init_dgp(KEY, cfg, dtype=jnp.float64)
         skey = jax.random.PRNGKey(123)
         deltas = {}

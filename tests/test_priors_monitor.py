@@ -132,7 +132,7 @@ class TestLogPrior:
         cfg = DGPConfig(
             layers=(GPLayerConfig(d_in=3, d_out=1, num_inducing=8,
                                   mean_function="zero", final=True),),
-            num_data=64, objective="vi", priors=priors)
+            num_data=64, objective="vi", num_samples=2, priors=priors)
         from dgps_with_iwvi_tpu.models import init_dgp
         params = init_dgp(KEY, cfg, dtype=jnp.float64)
         mesh = make_mesh(4, 2)
