@@ -31,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-per-call", type=int, default=100)
     ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--minibatch", type=int, default=512,
+                    help="512 = the flagship latency-sensitive config; "
+                         "8192 = the compute-bound throughput row")
     ap.add_argument("--out", default="/tmp/dgp_profile")
     ap.add_argument("--tool", default="framework_op_stats",
                     help="xprof tool: framework_op_stats | hlo_stats | "
@@ -43,12 +46,18 @@ def main():
 
     data = get_regression_data("kin8nm", 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
+    if args.minibatch > X.shape[0]:
+        # same tiling as bench.py: keep a true B-row minibatch rather than
+        # silently falling back to full-batch N=7372 rows
+        reps = (args.minibatch + X.shape[0] - 1) // X.shape[0] + 1
+        X, Y = jnp.tile(X, (reps, 1)), jnp.tile(Y, (reps, 1))
     key = jax.random.PRNGKey(0)
     bargs = BuildArgs(configuration="LGG", mode="IW", num_inducing=128,
                       num_iw_samples=20)
     config, params = build_model(key, bargs, X, Y)
     tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad="final",
-                     minibatch_size=512, steps_per_call=args.steps_per_call)
+                     minibatch_size=args.minibatch,
+                     steps_per_call=args.steps_per_call)
     init_fn, _, chunk_fn, _ = make_trainer(config, tc)
     state = init_fn(params)
     chunk_jit = jax.jit(chunk_fn)

@@ -38,7 +38,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --mesh gates the SHARDED trainer (parallel/sharding.py) at convergence on
+# a virtual CPU device mesh — the backend choice must happen before the
+# first backend initialization, hence this pre-import argv sniff (the
+# container's sitecustomize pre-imports jax, so plain env vars are too
+# late; jax.config.update still works until a backend is live).
+_MESH_ARG = next((a.split("=", 1)[1] if "=" in a else sys.argv[i + 1]
+                  for i, a in enumerate(sys.argv)
+                  if a == "--mesh" or a.startswith("--mesh=")), None)
+
 import jax
+
+if _MESH_ARG:
+    _dp, _k = map(int, _MESH_ARG.lower().split("x"))
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", _dp * _k)
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,7 +76,7 @@ GATE_CONFIGS = [
 
 def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
-                solve_bwd="same", gram_fwd="highest"):
+                solve_bwd="same", gram_fwd="highest", mesh=None):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
     from dgps_with_iwvi_tpu.ops import kernels as _kern
 
@@ -81,7 +95,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                      solve_bwd_precision=solve_bwd)
     losses = []
     tr, _ = fit(key, cfg, params, X, Y, tc,
-                callback=lambda s, l, _st: losses.append(l))
+                callback=lambda s, l, _st: losses.append(l), mesh=mesh)
     nb = min(2048, X.shape[0])
     # the bound is an MC estimate for LV/IW models (per-point SE ~1e-3 at
     # this batch size) — average 8 eval keys so eval noise cannot flip the
@@ -94,6 +108,80 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
     return {"elbo_per_point": e, "test_nll": -m["test_loglik"],
             "test_rmse": m["test_rmse"],
             "finite": bool(np.all(np.isfinite(losses)))}
+
+
+def run_mesh_gate(args):
+    """Converged-trajectory gate for the sharded trainer (VERDICT r3 item
+    2): single-device vs fit(mesh=...) on a virtual CPU mesh, both at the
+    production precision defaults, judged against the single-device
+    seed-to-seed band. Complements tests/test_parallel.py, which pins
+    sharded == single-device only at step/chunk granularity."""
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    dp, k = map(int, args.mesh.lower().split("x"))
+    gc = next((g for g in GATE_CONFIGS if g[0] == args.mesh_config), None)
+    assert gc is not None, (args.mesh_config, [g[0] for g in GATE_CONFIGS])
+    mesh = Mesh(np.array(jax.devices()[:dp * k]).reshape(dp, k),
+                ("dp", "k"))
+    kw = dict(var_precision="default", solve_precision="high",
+              iterations=args.iterations)
+    t0 = time.time()
+    ref = run_setting(*gc, seed=0, **kw)
+    ref2 = run_setting(*gc, seed=1, **kw)
+    cand = run_setting(*gc, seed=0, mesh=mesh, **kw)
+    scale = max(abs(ref["elbo_per_point"]), 1e-9)
+    band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
+    band_nll = abs(ref2["test_nll"] - ref["test_nll"])
+    tol_elbo = max(args.rel_tol, 1.5 * band)
+    tol_nll = max(args.nll_tol, 1.5 * band_nll)
+    d_elbo = abs(cand["elbo_per_point"] - ref["elbo_per_point"]) / scale
+    d_nll = abs(cand["test_nll"] - ref["test_nll"])
+    ok = (ref["finite"] and ref2["finite"] and cand["finite"]
+          and d_elbo <= tol_elbo and d_nll <= tol_nll)
+    verdict = {
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+        "mesh": {"dp": dp, "k": k}, "config": gc[0],
+        "iterations": args.iterations, "backend": jax.default_backend(),
+        "pass": ok,
+        "rows": [{"config": gc[0], "ok": ok,
+                  "elbo_single": ref["elbo_per_point"],
+                  "elbo_single_seed1": ref2["elbo_per_point"],
+                  "elbo_mesh": cand["elbo_per_point"],
+                  "d_elbo_rel": d_elbo, "seed_band_rel": band,
+                  "tol_elbo_rel": tol_elbo,
+                  "nll_single": ref["test_nll"], "nll_mesh": cand["test_nll"],
+                  "d_nll": d_nll, "seed_band_nll": band_nll,
+                  "tol_nll": tol_nll, "seconds": time.time() - t0}],
+    }
+    out = args.out + "_mesh"
+    with open(out + ".json", "w") as f:
+        json.dump(verdict, f, indent=1)
+    r = verdict["rows"][0]
+    with open(out + ".md", "w") as f:
+        f.write(
+            f"# Sharded-trainer convergence gate — "
+            f"{'PASS' if ok else 'FAIL'}\n\n"
+            f"{verdict['date']}, backend={verdict['backend']} "
+            f"({dp}x{k} virtual mesh), config {gc[0]}, "
+            f"{args.iterations} steps, production precision defaults "
+            "both sides. The sharded trajectory (rows over 'dp', samples "
+            "over 'k', psum'd grads) must land within 1.5x the "
+            "single-device seed-to-seed band — a TRAJECTORY property; the "
+            "test suite pins only step-granular exactness.\n\n"
+            "| config | verdict | ELBO/n single | ELBO/n seed1 | ELBO/n "
+            "mesh | dELBO rel | band | NLL single | NLL mesh | dNLL |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
+            f"| {gc[0]} | {'PASS' if ok else 'FAIL'} | "
+            f"{r['elbo_single']:+.4f} | {r['elbo_single_seed1']:+.4f} | "
+            f"{r['elbo_mesh']:+.4f} | {r['d_elbo_rel']:.2e} | "
+            f"{r['seed_band_rel']:.2e} | {r['nll_single']:+.4f} | "
+            f"{r['nll_mesh']:+.4f} | {r['d_nll']:.4f} |\n")
+    print(f"mesh gate: {'PASS' if ok else 'FAIL'} dELBO={d_elbo:.2e} "
+          f"(band {band:.2e}) dNLL={d_nll:.4f} (band {band_nll:.4f}) "
+          f"-> {out}.md ({time.time() - t0:.0f}s)")
+    return verdict
 
 
 def main(argv=None):
@@ -131,11 +219,26 @@ def main(argv=None):
                         "the all-HIGHEST reference always runs 'highest'")
     p.add_argument("--quick", action="store_true",
                    help="smoke mode: 500 iterations, loose tolerances")
+    p.add_argument("--mesh", default=None, metavar="DPxK",
+                   help="gate the SHARDED trainer at convergence: train one "
+                        "gate config through fit(mesh=Mesh(dp,k)) on a "
+                        "virtual CPU mesh and compare converged ELBO/NLL to "
+                        "the single-device run (same backend, same "
+                        "production precision) against the seed band. "
+                        "Checks accumulated drift of the psum'd trajectory "
+                        "over the full run — the step-granular exactness "
+                        "tests (tests/test_parallel.py) cannot. Writes "
+                        "QUALITY_GATE_mesh.*")
+    p.add_argument("--mesh_config", default="LG-energy natgrad",
+                   help="--mesh: which GATE_CONFIGS label to run (pick one "
+                        "whose K is divisible by the mesh's k axis)")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "QUALITY_GATE"))
     args = p.parse_args(argv)
     if args.quick:
         args.iterations, args.rel_tol, args.nll_tol = 500, 0.2, 0.5
+    if args.mesh:
+        return run_mesh_gate(args)
 
     rows, ok_all = [], True
     for gc in GATE_CONFIGS:
