@@ -145,6 +145,19 @@ REMAT_QVAR_MAX_M = 256
 QVAR_BF16_RESIDUAL: bool | str = "auto"
 QVAR_BF16_MAX_M = 256
 
+# MEASURED NEGATIVE — keep the q-variance COTANGENT (dLTA / dSA) in bf16
+# via an explicit custom vjp. Hypothesis from docs/ROOFLINE_B8192.md: AD
+# materializes the [*, D, M, cols] cotangent in f32 (2 GB/step at B=8192).
+# Measured (benchmarks/qvar_bf16grad_ab.py, v5e, spc=200): +0.4% at every
+# shape — noise. Byte accounting of the traced ops shows why: XLA's
+# bfloat16 propagation + operand fusion ALREADY fuse the elementwise
+# 2g*LTA into both consuming dots as bf16 operands (each top op moves
+# ~420 MB = bf16-sized reads + the f32 dA write; the f32 cotangent never
+# reaches HBM). The custom vjp therefore buys nothing the compiler does
+# not already do. Default False (plain AD); the path is kept as the
+# documented experiment and for trace-level determinism A/Bs.
+QVAR_BF16_GRAD: bool | str = False
+
 # Backend for the q-variance quadratic form on INFERENCE paths. The XLA
 # path materializes the [D, M, cols] inner product to HBM — a necessary
 # AD residual in training, pure traffic at prediction time (43% of the
@@ -212,6 +225,97 @@ def _use_bf16_residual(m: int, dtype) -> bool:
     return bool(QVAR_BF16_RESIDUAL)
 
 
+def _use_bf16_grad() -> bool:
+    # only reachable from a branch where _use_bf16_residual already held
+    return QVAR_BF16_GRAD != False  # noqa: E712 — "auto" and True both on
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _qvar_root_bf16(A, L, vp):
+    """sum_m (L^T A)^2 -> [..., D, N], bf16 residual AND bf16 cotangent.
+
+    Forward is bitwise-identical to the plain bf16-residual path (same
+    matmul, same einsum); only the backward changes: dLTA stays bf16, so
+    the three [*, D, M, cols]-sized HBM transfers of the AD backward
+    (f32 write + two f32 reads) halve. See QVAR_BF16_GRAD.
+    """
+    LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
+                     precision=vp).astype(jnp.bfloat16)
+    return jnp.einsum("...dmn,...dmn->...dn", LTA, LTA,
+                      preferred_element_type=A.dtype)
+
+
+def _qvar_root_bf16_fwd(A, L, vp):
+    LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
+                     precision=vp).astype(jnp.bfloat16)
+    out = jnp.einsum("...dmn,...dmn->...dn", LTA, LTA,
+                     preferred_element_type=A.dtype)
+    return out, (A, L, LTA)
+
+
+def _qvar_root_bf16_bwd(vp, res, g):
+    A, L, LTA = res
+    f32, bf16 = A.dtype, jnp.bfloat16
+    # d out/d LTA = 2 g LTA — kept in bf16 (the whole point)
+    dLTA = (2.0 * g)[..., :, None, :].astype(bf16) * LTA  # [..., D, M, N]
+    # LTA_{d,p,n} = sum_m L_{d,m,p} A_{m,n}
+    dL = jnp.einsum("...mn,...dpn->...dmp", A.astype(bf16), dLTA,
+                    preferred_element_type=f32)
+    dA = jnp.einsum("...dmp,...dpn->...mn", L.astype(bf16), dLTA,
+                    preferred_element_type=f32)
+    return (_reduce_to_shape(dA, A.shape).astype(A.dtype),
+            _reduce_to_shape(dL, L.shape).astype(L.dtype))
+
+
+_qvar_root_bf16.defvjp(_qvar_root_bf16_fwd, _qvar_root_bf16_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _qvar_cov_bf16(A, S, vp):
+    """sum_m A (S A) -> [..., D, N], bf16 residual AND bf16 cotangent.
+
+    Covariance-form sibling of _qvar_root_bf16 (natgrad layers store S,
+    not its root). No symmetry of S is assumed — the backward mirrors
+    exact AD of the forward, only with the [*, D, M, cols] cotangent dSA
+    held in bf16.
+    """
+    SA = jnp.matmul(S, A[..., None, :, :],
+                    precision=vp).astype(jnp.bfloat16)
+    return jnp.einsum("...mn,...dmn->...dn", A.astype(jnp.bfloat16), SA,
+                      preferred_element_type=A.dtype)
+
+
+def _qvar_cov_bf16_fwd(A, S, vp):
+    SA = jnp.matmul(S, A[..., None, :, :],
+                    precision=vp).astype(jnp.bfloat16)
+    Ab = A.astype(jnp.bfloat16)
+    out = jnp.einsum("...mn,...dmn->...dn", Ab, SA,
+                     preferred_element_type=A.dtype)
+    return out, (Ab, S, SA)
+
+
+def _qvar_cov_bf16_bwd(vp, res, g):
+    Ab, S, SA = res
+    f32, bf16 = S.dtype, jnp.bfloat16
+    gb = g[..., :, None, :]                                # [..., D, 1, N]
+    # via the einsum's A operand: sum_d g SA (g cast to bf16 so jnp's type
+    # promotion cannot silently upcast the big SA operand to f32)
+    dA1 = jnp.einsum("...dn,...dmn->...mn", g.astype(bf16), SA,
+                     preferred_element_type=f32)
+    # via SA = S A: dSA = g (x) A, then the matmul transposes
+    dSA = gb.astype(bf16) * Ab[..., None, :, :]            # [..., D, M, N]
+    dS = jnp.einsum("...dmn,...pn->...dmp", dSA, Ab,
+                    preferred_element_type=f32)
+    dA2 = jnp.einsum("...dmp,...dmn->...pn", S.astype(bf16), dSA,
+                     preferred_element_type=f32)
+    dA = dA1 + dA2
+    return (_reduce_to_shape(dA, Ab.shape).astype(f32),
+            _reduce_to_shape(dS, S.shape).astype(S.dtype))
+
+
+_qvar_cov_bf16.defvjp(_qvar_cov_bf16_fwd, _qvar_cov_bf16_bwd)
+
+
 def _maybe_remat(fn, residual_bytes: int, m: int, dtype):
     if _use_bf16_residual(m, dtype):
         # bf16 storage dominates remat at every shape it activates for
@@ -276,14 +380,17 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
                 qvar_fused(A, q_S, True, interp), -1, -2)   # [..., N, D]
 
         def _qvar_cov(A, S):
-            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
             if _use_bf16_residual(m, A.dtype):
-                SA = SA.astype(jnp.bfloat16)
+                if _use_bf16_grad():
+                    return _qvar_cov_bf16(A, S, vp)
+                SA = jnp.matmul(S, A[..., None, :, :],
+                                precision=vp).astype(jnp.bfloat16)
                 # contraction over M as a dot so the bf16 SA (not an f32
                 # upcast) is the saved residual; f32 MXU accumulation
                 return jnp.einsum(
                     "...mn,...dmn->...dn", A.astype(jnp.bfloat16), SA,
                     preferred_element_type=A.dtype)
+            SA = jnp.matmul(S, A[..., None, :, :], precision=vp)  # [..., D, M, N]
             return jnp.sum(A[..., None, :, :] * SA, axis=-2)      # [..., D, N]
 
         res_bytes = q_S.shape[0] * n_cols * m * A.dtype.itemsize
@@ -300,13 +407,16 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
             qvar_fused(A, Ltri, False, interp), -1, -2)      # [..., N, D]
 
     def _qvar_root(A, L):
+        if _use_bf16_residual(m, A.dtype):
+            if _use_bf16_grad():
+                return _qvar_root_bf16(A, L, vp)
+            LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
+                             precision=vp).astype(jnp.bfloat16)
+            return jnp.einsum("...dmn,...dmn->...dn", LTA, LTA,
+                              preferred_element_type=A.dtype)
         # (q_sqrt^T A): [D, M, M] x [..., M, N] -> [..., D, M, N]
         LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[..., None, :, :],
                          precision=vp)
-        if _use_bf16_residual(m, A.dtype):
-            LTA = LTA.astype(jnp.bfloat16)
-            return jnp.einsum("...dmn,...dmn->...dn", LTA, LTA,
-                              preferred_element_type=A.dtype)
         return jnp.sum(jnp.square(LTA), axis=-2)            # [..., D, N]
 
     res_bytes = q_sqrt.shape[0] * n_cols * m * A.dtype.itemsize

@@ -493,6 +493,37 @@ class TestQvarBf16Residual:
         assert bool(jnp.all(jnp.isfinite(gA)))
         assert bool(jnp.all(jnp.isfinite(gL)))
 
+    @pytest.mark.parametrize("family", ["root", "cov"])
+    def test_bf16_grad_custom_vjp(self, family, monkeypatch):
+        """QVAR_BF16_GRAD custom vjp (default OFF — measured negative, see
+        ops/conditionals.py): forward must be BITWISE equal to the plain
+        bf16-residual path, gradients within the bf16 rounding class.
+        Covers a leading (sample) batch dim, whose cotangent reduction the
+        custom backward must perform itself."""
+        kA, kL = jax.random.split(jax.random.PRNGKey(7))
+        A = jax.random.normal(kA, (5, 16, 24), jnp.float32)  # [K, M, N]
+        G = jax.random.normal(kL, (3, 16, 16), jnp.float32)
+        L = jnp.tril(G) + 2.0 * jnp.eye(16, dtype=jnp.float32)
+        q = L if family == "root" else L @ jnp.swapaxes(L, -1, -2)
+        vp = jax.lax.Precision.HIGHEST
+
+        def loss(A, q, flag):
+            with monkeypatch.context() as mp:
+                mp.setattr(conditionals, "QVAR_BF16_RESIDUAL", True)
+                mp.setattr(conditionals, "QVAR_BF16_GRAD", flag)
+                args = (q, None) if family == "root" else (None, q)
+                return jnp.sum(jnp.sin(
+                    conditionals._q_variance(A, *args, vp)))
+
+        v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(A, q, True)
+        v_old, g_old = jax.value_and_grad(loss, argnums=(0, 1))(A, q, False)
+        assert float(v_new) == float(v_old)  # forward bitwise
+        for gn, go in zip(g_new, g_old):
+            assert gn.shape == go.shape
+            assert bool(jnp.all(jnp.isfinite(gn)))
+            atol = 2e-2 * float(jnp.max(jnp.abs(go)))
+            np.testing.assert_allclose(gn, go, rtol=5e-2, atol=atol)
+
 
 class TestMatmulSplitPrecision:
     """matmul_split_precision: identical primal, identical grads (on CPU,
