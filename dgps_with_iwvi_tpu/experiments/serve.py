@@ -81,7 +81,11 @@ def parse_args(argv=None):
                         "of a checkpoint (no model rebuild; single-device; "
                         "--ckpt_dir/--shard ignored)")
     p.add_argument("--num_predict_samples", type=int, default=100)
-    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=2048,
+                   help="scoring batch; with --export, 0 exports a "
+                        "POLYMORPHIC-batch artifact (symbolic dim: one "
+                        "artifact scores any n with no padding waste, one "
+                        "compile per distinct size at load time)")
     p.add_argument("--depth", type=int, default=8,
                    help="async calls in flight")
     p.add_argument("--shard", action="store_true",
@@ -217,7 +221,8 @@ def run(args) -> dict:
         platforms = (tuple(args.export_platforms.split(","))
                      if args.export_platforms else None)
         exp = export_scorer(
-            params, config, batch_size=args.batch_size,
+            params, config,
+            batch_size="b" if args.batch_size == 0 else args.batch_size,
             d_in=X_tr.shape[1], d_out=Y_tr.shape[1],
             num_samples=args.num_predict_samples,
             stats=NormalizationStats.from_dataset(data),

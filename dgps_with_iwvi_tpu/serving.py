@@ -104,16 +104,26 @@ def make_scorer_fn(params, config, num_samples: int,
     return score
 
 
-def export_scorer(params, config, *, batch_size: int, d_in: int, d_out: int,
-                  num_samples: int, stats: NormalizationStats | None = None,
+def export_scorer(params, config, *, batch_size: int | str, d_in: int,
+                  d_out: int, num_samples: int,
+                  stats: NormalizationStats | None = None,
                   platforms: tuple[str, ...] | None = None):
     """Lower + serialize the scorer. Returns a jax.export.Exported.
 
     ``platforms=None`` lowers for the current default backend only;
     pass e.g. ``("tpu", "cpu")`` for a portable artifact (one set of
     StableHLO per platform in the same blob).
+
+    ``batch_size`` may be an int (fixed-batch artifact; short tails pad to
+    the full batch) or the string ``"b"`` — a SYMBOLIC batch dimension
+    (jax.export shape polymorphism): one artifact then scores any n >= 1
+    with no padding waste and no re-export; the loader refines the
+    StableHLO per concrete batch size at call time (one compile per
+    distinct size, cached by jit).
     """
     fn = make_scorer_fn(params, config, num_samples, stats)
+    if isinstance(batch_size, str):
+        (batch_size,) = jax_export.symbolic_shape(batch_size)
     sds = (jax.ShapeDtypeStruct((batch_size, d_in), jnp.float32),
            jax.ShapeDtypeStruct((batch_size, d_out), jnp.float32),
            jax.ShapeDtypeStruct((), jnp.int32))
@@ -135,9 +145,12 @@ def save_scorer(path: str, exported, *, num_samples: int,
                 has_stats: bool, extra_meta: dict | None = None) -> dict:
     """One .npz file: StableHLO bytes + JSON meta. Returns the meta dict."""
     (x_aval, y_aval, _) = exported.in_avals
+    poly = not isinstance(x_aval.shape[0], int)
     meta = {
         "format_version": _FORMAT_VERSION,
-        "batch_size": int(x_aval.shape[0]),
+        # polymorphic artifacts record batch_size=0 ("any")
+        "batch_size": 0 if poly else int(x_aval.shape[0]),
+        "polymorphic_batch": poly,
         "d_in": int(x_aval.shape[1]),
         "d_out": int(y_aval.shape[1]),
         "num_samples": int(num_samples),
@@ -177,13 +190,21 @@ class ServingArtifact:
         # keep --depth calls in flight (same pattern as experiments/serve.py)
         self._fn = jax.jit(exported.call)
 
-    def score(self, X, Y=None, *, seed: int = 0, depth: int = 8) -> dict:
-        """Score an arbitrary-length table with fixed-size padded batches.
+    def score(self, X, Y=None, *, seed: int = 0, depth: int = 8,
+              max_batch: int = 8192) -> dict:
+        """Score an arbitrary-length table.
+
+        Fixed-batch artifacts run fixed-size padded batches (short tails
+        pay full-batch compute). Polymorphic-batch artifacts
+        (export_scorer(batch_size="b")) run ``max_batch``-row chunks plus
+        one natural-size tail — no padding waste; each DISTINCT concrete
+        batch size compiles once (cached by jit across calls).
 
         X: [n, d_in]; Y: [n, d_out] or None (log_density omitted). Units are
         raw when the artifact was exported with stats, else caller units.
         """
-        bs = self.meta["batch_size"]
+        poly = self.meta.get("polymorphic_batch", False)
+        bs = max_batch if poly else self.meta["batch_size"]
         d_out = self.meta["d_out"]
         X = np.asarray(X, np.float32)
         n = X.shape[0]
@@ -199,7 +220,7 @@ class ServingArtifact:
         outs = []
         for i, start in enumerate(range(0, n, bs)):
             xb, yb = X[start:start + bs], Ys[start:start + bs]
-            pad = bs - xb.shape[0]
+            pad = 0 if poly else bs - xb.shape[0]
             if pad:
                 xb = np.concatenate([xb, np.zeros((pad, xb.shape[1]),
                                                   xb.dtype)])

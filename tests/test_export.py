@@ -257,3 +257,55 @@ class TestBakedNormalization:
         np.testing.assert_allclose(np.asarray(ld_raw),
                                    np.asarray(ld) - log_sigma,
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPolymorphicBatch:
+    """export_scorer(batch_size="b"): ONE artifact scores any n with no
+    padding waste (VERDICT r3 item 4). The symbolic-dim StableHLO must
+    survive the file round trip, refine at call time for each concrete
+    size, and agree with the fixed-batch artifact chunk-for-chunk."""
+
+    def test_round_trip_any_n(self, tiny_model, tmp_path):
+        config, params, X, Y = tiny_model
+        S = 5
+        exp = export_scorer(params, config, batch_size="b", d_in=3, d_out=1,
+                            num_samples=S)
+        meta = save_scorer(str(tmp_path / "poly.npz"), exp, num_samples=S,
+                           has_stats=False)
+        assert meta["polymorphic_batch"] is True and meta["batch_size"] == 0
+        art = load_scorer(str(tmp_path / "poly.npz"))
+        for n in (1, 7, 64):
+            out = art.score(X[:n], Y[:n], seed=3, max_batch=16)
+            assert out["mean"].shape == (n, 1)
+            assert out["var"].shape == (n, 1)
+            assert out["log_density"].shape == (n,)
+            assert np.all(np.isfinite(out["mean"]))
+            assert np.all(out["var"] > 0)
+
+    def test_matches_fixed_batch_artifact(self, tiny_model, tmp_path):
+        config, params, X, Y = tiny_model
+        S, B = 5, 16
+        poly = export_scorer(params, config, batch_size="b", d_in=3,
+                             d_out=1, num_samples=S)
+        fixed = export_scorer(params, config, batch_size=B, d_in=3,
+                              d_out=1, num_samples=S)
+        save_scorer(str(tmp_path / "p.npz"), poly, num_samples=S,
+                    has_stats=False)
+        save_scorer(str(tmp_path / "f.npz"), fixed, num_samples=S,
+                    has_stats=False)
+        ap, af = load_scorer(str(tmp_path / "p.npz")), load_scorer(
+            str(tmp_path / "f.npz"))
+        # 64 rows = 4 chunks of 16 under both artifacts -> identical
+        # per-chunk seeds, identical math
+        op = ap.score(X, Y, seed=11, max_batch=B)
+        of = af.score(X, Y, seed=11)
+        np.testing.assert_allclose(op["mean"], of["mean"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(op["log_density"], of["log_density"],
+                                   rtol=1e-5, atol=1e-5)
+        # a 40-row table: fixed pads the 8-row tail to 16, poly runs it
+        # natural-size — results must still agree on the real rows
+        op = ap.score(X[:40], Y[:40], seed=2, max_batch=B)
+        of = af.score(X[:40], Y[:40], seed=2)
+        np.testing.assert_allclose(op["mean"], of["mean"],
+                                   rtol=1e-5, atol=1e-6)
