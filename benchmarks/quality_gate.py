@@ -76,11 +76,13 @@ GATE_CONFIGS = [
 
 def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
-                solve_bwd="same", gram_fwd="highest", mesh=None):
+                solve_bwd="same", gram_fwd="highest", mesh=None,
+                qvar_train="off", minibatch=512):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
     from dgps_with_iwvi_tpu.ops import kernels as _kern
 
     _cond.QVAR_BF16_RESIDUAL = qvar_bf16  # trace-time module switch
+    _cond.QVAR_PALLAS_TRAIN = qvar_train  # trace-time module switch
     _kern.GRAM_FWD_PRECISION = gram_fwd  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
@@ -90,7 +92,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                   solve_precision=solve_precision)
     cfg, params = build_model(key, b, X, Y)
     tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad=natgrad,
-                     minibatch_size=512, iterations=iterations,
+                     minibatch_size=minibatch, iterations=iterations,
                      steps_per_call=min(500, iterations),
                      solve_bwd_precision=solve_bwd)
     losses = []
@@ -204,6 +206,17 @@ def main(argv=None):
                         "shipped policy (bf16 iff M<=256 and f32 compute), "
                         "on/off force it; the all-HIGHEST reference always "
                         "runs exact f32 residuals")
+    p.add_argument("--minibatch", type=int, default=512,
+                   help="training minibatch for all gate runs (default 512 "
+                        "= the flagship config; 2048 puts the gate in the "
+                        "regime where the QVAR_PALLAS_TRAIN auto policy "
+                        "actually dispatches the fused kernel)")
+    p.add_argument("--qvar_pallas_train", default="off",
+                   help="QVAR_PALLAS_TRAIN for the candidate: off (default "
+                        "— gate the precision knobs alone) | auto | on. "
+                        "'on' forces the fused Pallas backward kernel at "
+                        "the gate's B=512 shapes (below the auto floor) so "
+                        "its bf16-class rounding is convergence-gated")
     p.add_argument("--solve_bwd_precision", default="auto",
                    choices=["auto", "same", "high", "default"],
                    help="candidate precision for the solve path's "
@@ -232,6 +245,15 @@ def main(argv=None):
     p.add_argument("--mesh_config", default="LG-energy natgrad",
                    help="--mesh: which GATE_CONFIGS label to run (pick one "
                         "whose K is divisible by the mesh's k axis)")
+    p.add_argument("--reference", default="highest",
+                   choices=["highest", "production"],
+                   help="what the candidate is judged against: 'highest' "
+                        "(default) = the all-HIGHEST-precision run — gates "
+                        "the WHOLE candidate stack; 'production' = the "
+                        "shipped production defaults (var=default, "
+                        "solve=high, bf16 residual auto, no candidate "
+                        "knobs) — isolates ONE knob under test from the "
+                        "already-gated precision policy")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "QUALITY_GATE"))
     args = p.parse_args(argv)
@@ -244,26 +266,31 @@ def main(argv=None):
     for gc in GATE_CONFIGS:
         label = gc[0]
         t0 = time.time()
-        ref = run_setting(*gc, var_precision="highest",
-                          solve_precision="highest",
-                          iterations=args.iterations, qvar_bf16=False)
+        if args.reference == "production":
+            ref_kw = dict(var_precision="default", solve_precision="high",
+                          qvar_bf16="auto")
+        else:
+            ref_kw = dict(var_precision="highest", solve_precision="highest",
+                          qvar_bf16=False)
+        ref = run_setting(*gc, minibatch=args.minibatch,
+                          iterations=args.iterations, **ref_kw)
         # second reference SEED at the same (highest) setting: two
         # RNG-different trajectories land at different points of the
         # optimizer's stationary distribution, so the seed band is the
         # noise floor any candidate comparison must respect — a candidate
         # cannot be held to a tighter tolerance than the reference's own
         # run-to-run variation (measured ~2e-3 rel on LGG-kin8nm)
-        ref2 = run_setting(*gc, var_precision="highest",
-                           solve_precision="highest",
-                           iterations=args.iterations, seed=1,
-                           qvar_bf16=False)
+        ref2 = run_setting(*gc, minibatch=args.minibatch,
+                           iterations=args.iterations, seed=1, **ref_kw)
         cand = run_setting(*gc, var_precision=args.var_precision,
                            solve_precision=args.solve_precision,
                            iterations=args.iterations,
                            qvar_bf16={"auto": "auto", "on": True,
                                       "off": False}[args.qvar_bf16_residual],
                            solve_bwd=args.solve_bwd_precision,
-                           gram_fwd=args.gram_fwd_precision)
+                           gram_fwd=args.gram_fwd_precision,
+                           qvar_train=args.qvar_pallas_train,
+                           minibatch=args.minibatch)
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -295,10 +322,16 @@ def main(argv=None):
         "candidate": {"var_precision": args.var_precision,
                       "solve_precision": args.solve_precision,
                       "qvar_bf16_residual": args.qvar_bf16_residual,
+                      "qvar_pallas_train": args.qvar_pallas_train,
+                      "minibatch": args.minibatch,
                       "solve_bwd_precision": args.solve_bwd_precision,
                       "gram_fwd_precision": args.gram_fwd_precision},
-        "reference": {"var_precision": "highest",
-                      "solve_precision": "highest"},
+        "reference": ({"var_precision": "highest",
+                       "solve_precision": "highest"}
+                      if args.reference == "highest" else
+                      {"var_precision": "default", "solve_precision": "high",
+                       "qvar_bf16_residual": "auto",
+                       "note": "production defaults — single-knob gate"}),
         "iterations": args.iterations,
         "tolerances": {"elbo_rel": args.rel_tol, "nll_nats": args.nll_tol},
         "backend": jax.default_backend(),
@@ -314,7 +347,10 @@ def main(argv=None):
                 f"solve={args.solve_precision} "
                 f"solve_bwd={args.solve_bwd_precision} "
                 f"qvar_bf16={args.qvar_bf16_residual} "
-                f"gram_fwd={args.gram_fwd_precision} vs all-HIGHEST, "
+                f"qvar_pallas_train={args.qvar_pallas_train} "
+                f"gram_fwd={args.gram_fwd_precision} vs "
+                f"{'all-HIGHEST' if args.reference == 'highest' else 'production defaults'} "
+                f"(minibatch {args.minibatch}), "
                 f"{args.iterations} steps. Tolerance per config = "
                 f"max(floor, 1.5x the reference's own seed-to-seed band); "
                 f"floors: ELBO rel {args.rel_tol}, NLL {args.nll_tol} "

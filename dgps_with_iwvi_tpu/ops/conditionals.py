@@ -172,6 +172,22 @@ QVAR_BF16_GRAD: bool | str = False
 QVAR_PALLAS: bool | str = "auto"
 _QVAR_INFERENCE_HINT = False  # set via qvar_inference_mode()
 
+# Backend for the q-variance quadratic form in TRAINING objectives. The
+# XLA path must store the [*, D, M, cols] inner product as the AD
+# residual; at the B=8192 throughput shape that store plus its two
+# backward reads are the top 3 ops of the whole step, each AT the HBM
+# roofline (docs/ROOFLINE_B8192.md) — a bound no scheduling can beat,
+# only byte elimination. qvar_fused_train (ops/pallas/qvar.py) recomputes
+# the inner product tile-wise in VMEM in a fused Pallas BACKWARD kernel,
+# so the tensor never reaches HBM in either direction. Same rounding
+# class as the bf16-residual path (bf16 dot operands, f32 MXU accumulate)
+# — quality-gated. "auto" uses it on training paths exactly when the
+# kernel preconditions hold (f32, var_precision='default', lane-aligned
+# cols >= 1024 — i.e. the large-batch regime; the flagship B=512 shape
+# keeps the measured-faster XLA bf16-residual path); "on"/"off" force it
+# for A/B (benchmarks/qvar_pallas_train_ab.py).
+QVAR_PALLAS_TRAIN: bool | str = "auto"
+
 
 @contextlib.contextmanager
 def qvar_inference_mode():
@@ -213,6 +229,30 @@ def _use_qvar_pallas(A: jax.Array, W, vp) -> bool:
     from .pallas.qvar import applicable
     if QVAR_PALLAS == "auto":
         return applicable(A.shape, W, A.dtype)
+    # forced "on": allow CPU via the interpreter (parity tests)
+    m, n = A.shape[-2], A.shape[-1]
+    return (A.dtype == jnp.float32 and m == W.shape[-1]
+            and m % 8 == 0 and n % 128 == 0)
+
+
+def _use_qvar_train_pallas(A: jax.Array, W, vp) -> bool:
+    """Gate for the fused-backward training kernel (QVAR_PALLAS_TRAIN).
+
+    Mirrors _use_qvar_pallas but for objective traces: never on inference
+    paths (the residual-free qvar_fused already covers those), and never
+    when the trace must stay portable (qvar_pallas_disabled covers both
+    knobs so exported artifacts carry no Mosaic custom call)."""
+    if QVAR_PALLAS_TRAIN == "off" or QVAR_PALLAS_TRAIN is False:
+        return False
+    if QVAR_PALLAS == "off":  # portability override (serving export)
+        return False
+    if _QVAR_INFERENCE_HINT or W is None or W.ndim != 3:
+        return False
+    if vp != jax.lax.Precision.DEFAULT:
+        return False
+    from .pallas.qvar import applicable_train
+    if QVAR_PALLAS_TRAIN == "auto":
+        return applicable_train(A.shape, W, A.dtype)
     # forced "on": allow CPU via the interpreter (parity tests)
     m, n = A.shape[-2], A.shape[-1]
     return (A.dtype == jnp.float32 and m == W.shape[-1]
@@ -378,6 +418,11 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
             interp = jax.default_backend() == "cpu"
             return jnp.swapaxes(
                 qvar_fused(A, q_S, True, interp), -1, -2)   # [..., N, D]
+        if _use_qvar_train_pallas(A, q_S, vp):
+            from .pallas.qvar import qvar_fused_train
+            interp = jax.default_backend() == "cpu"
+            return jnp.swapaxes(
+                qvar_fused_train(A, q_S, True, interp), -1, -2)
 
         def _qvar_cov(A, S):
             if _use_bf16_residual(m, A.dtype):
@@ -405,6 +450,13 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
         Ltri = jnp.tril(q_sqrt)
         return jnp.swapaxes(
             qvar_fused(A, Ltri, False, interp), -1, -2)      # [..., N, D]
+    if _use_qvar_train_pallas(A, q_sqrt, vp):
+        from .pallas.qvar import qvar_fused_train
+        interp = jax.default_backend() == "cpu"
+        # tril is a no-op on the stored parameter but masks the dense dW
+        # the fused backward produces back onto the triangle
+        return jnp.swapaxes(
+            qvar_fused_train(A, jnp.tril(q_sqrt), False, interp), -1, -2)
 
     def _qvar_root(A, L):
         if _use_bf16_residual(m, A.dtype):

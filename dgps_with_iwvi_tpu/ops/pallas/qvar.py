@@ -57,6 +57,31 @@ def applicable(A_shape, W: jax.Array, dtype) -> bool:
             and jax.default_backend() not in ("cpu",))
 
 
+def applicable_train(A_shape, W: jax.Array, dtype) -> bool:
+    """Preconditions for the fused-backward TRAINING kernel.
+
+    Same alignment/dtype/VMEM rules as `applicable`, but the profitability
+    floor is d*n (work per grid step amortizing the per-step overhead),
+    not n alone: measured v5e step times (qvar_pallas_train_ab.py, LGG
+    IW natgrad train step, per-layer kernels forced on) —
+        B=512  d=8  (d*n=4096):   0.89x  LOSES
+        B=1024 d=8  (d*n=8192):   0.91x  LOSES
+        year   d=30 (d*n=15360):  1.09x  (B=512, D_in=90 inner width 30)
+        B=2048 d=8  (d*n=16384):  1.16x
+        B=8192 d=8  (d*n=65536):  1.07x
+    Floor d*n >= 12288 splits the measured loss at 8192 from the win at
+    15360. (The d=1 final layer is always excluded: measured neutral at
+    B=8192 — auto 5.025 vs all-on 5.034 ms.)
+    """
+    m, n = A_shape[-2], A_shape[-1]
+    d = W.shape[0]
+    return (dtype == jnp.float32 and W.dtype == jnp.float32
+            and W.ndim == 3 and m == W.shape[-1]
+            and m % 8 == 0 and n % LANE == 0 and d * n >= 12288
+            and d * m * m * 4 <= _MAX_W_BYTES
+            and jax.default_backend() not in ("cpu",))
+
+
 def _qvar_kernel(a_ref, w_ref, out_ref, *, d_out: int, cov: bool):
     a32 = a_ref[0]                                  # [M, TN] f32
     a = a32.astype(jnp.bfloat16)
@@ -156,3 +181,129 @@ def _qvar_bwd(cov, interpret, res, g):
 
 
 qvar_fused.defvjp(_qvar_fwd, _qvar_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused TRAINING path: Pallas forward AND Pallas backward.
+#
+# qvar_fused's recompute vjp above re-materializes the [*, D, M, N] inner
+# product through XLA — fine for the rare grad-through-prediction, but in
+# the training objective that tensor (671 MB f32 at the B=8192 flagship
+# shape) is exactly the traffic the roofline audit (docs/ROOFLINE_B8192.md)
+# shows pinning the step to the HBM peak: the forward store plus the two
+# parameter-gradient reads are the top 3 ops of the whole step (1.6 of
+# 5.2 ms), each already at ~100% of attainable bandwidth. The only way
+# past that roofline is to stop moving the tensor: the backward kernel
+# below recomputes each [D, M, TN] inner-product tile in VMEM from A and
+# W (one extra MXU dot per tile) and contracts it into dA and dW
+# in-place, so neither LTA/SA nor its cotangent ever reaches HBM. HBM
+# traffic for the whole fwd+bwd drops from ~5x to ~2x the size of A.
+#
+# Numerics: identical rounding class to the XLA bf16-residual path — bf16
+# dot operands, f32 MXU accumulation (preferred_element_type), f32
+# elementwise; dW additionally accumulates across grid steps in a
+# f32 VMEM-resident block. Quality-gated like every precision knob
+# (benchmarks/quality_gate.py --qvar_pallas_train).
+# ---------------------------------------------------------------------------
+
+
+def _qvar_bwd_kernel(a_ref, w_ref, g_ref, da_ref, dw_ref, *,
+                     d_out: int, cov: bool):
+    a32 = a_ref[0]                                   # [M, TN] f32
+    a = a32.astype(jnp.bfloat16)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    da = jnp.zeros_like(a32)
+    for d in range(d_out):
+        w = w_ref[d].astype(jnp.bfloat16)            # [M, M]
+        gd = g_ref[0, d, :][None, :]                 # [1, TN] f32
+        if cov:
+            # out_d = sum_m a (S_d a): dA = g*(S_d a) + S_d^T (g*a),
+            # dS_d = (g*a) a^T — exact AD shape, no symmetry assumed
+            sa = jnp.dot(w, a, preferred_element_type=jnp.float32)
+            ga = (a32 * gd).astype(jnp.bfloat16)
+            da = da + gd * sa
+            da = da + jnp.dot(w.T, ga, preferred_element_type=jnp.float32)
+            dw_ref[d] = dw_ref[d] + jnp.dot(
+                ga, a.T, preferred_element_type=jnp.float32)
+        else:
+            # out_d = sum_m (W_d^T a)^2: recompute T = W_d^T a, then
+            # dT = 2 g T, dA = W_d dT, dW_d = a dT^T
+            t = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
+            dt = (2.0 * gd * t).astype(jnp.bfloat16)
+            da = da + jnp.dot(w, dt, preferred_element_type=jnp.float32)
+            dw_ref[d] = dw_ref[d] + jnp.dot(
+                a, dt.T, preferred_element_type=jnp.float32)
+    da_ref[0] = da
+
+
+def qvar_bwd_fused(A: jax.Array, W: jax.Array, g: jax.Array,
+                   cov: bool, interpret: bool = False):
+    """Fused backward: (dA [..., M, N], dW [D, M, M]) from cotangent
+    g [..., D, N]. dW accumulates across the whole grid in a VMEM-resident
+    block (its index map is constant, so the TPU's sequential grid keeps
+    it live between steps — the standard Pallas accumulator pattern)."""
+    lead = A.shape[:-2]
+    m, n = A.shape[-2:]
+    d = W.shape[0]
+    L = 1
+    for s in lead:
+        L *= s
+    Ab = A.reshape((L, m, n))
+    gb = g.reshape((L, d, n))
+    tn = _pick_tile(n)
+    kernel = functools.partial(_qvar_bwd_kernel, d_out=d, cov=cov)
+    dA, dW = pl.pallas_call(
+        kernel,
+        grid=(L, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, m, n), jnp.float32),
+            jax.ShapeDtypeStruct((d, m, m), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * L * d * m * m * n),
+            bytes_accessed=int(2 * L * m * n * 4 + L * d * n * 4
+                               + 2 * d * m * m * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Ab, W, gb)
+    return dA.reshape(A.shape), dW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def qvar_fused_train(A: jax.Array, W: jax.Array, cov: bool = False,
+                     interpret: bool = False) -> jax.Array:
+    """qvar_fused with the fused Pallas backward — the training-objective
+    entry point (ops/conditionals.py QVAR_PALLAS_TRAIN)."""
+    return qvar_fused(A, W, cov, interpret)
+
+
+def _qvar_train_fwd(A, W, cov, interpret):
+    return qvar_fused(A, W, cov, interpret), (A, W)
+
+
+def _qvar_train_bwd(cov, interpret, res, g):
+    A, W = res
+    return qvar_bwd_fused(A, W, g, cov, interpret)
+
+
+qvar_fused_train.defvjp(_qvar_train_fwd, _qvar_train_bwd)

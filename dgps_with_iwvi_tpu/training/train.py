@@ -57,21 +57,28 @@ class TrainConfig:
     scan_unroll: int = 1
     # Precision of the solve path's TRANSPOSED dots (dKuf = Linv^T dA,
     # dLinv = dA Kuf^T — 2x the forward FLOPs, gradients only; the primal
-    # stays at DGPConfig.solve_precision). Quality-gated policy
-    # (benchmarks/QUALITY_GATE_solvebwd.md): 'default' (single-pass bf16,
-    # +3-7% step rate) PASSES every natgrad config but measurably degrades
-    # the all-Adam gate config (converged ELBO -0.88 -> -0.92 on
-    # GG-energy), so 'auto' relaxes exactly when natgrad layers exist and
-    # stays exact for pure-Adam training. 'same'/'high'/'default' force.
+    # stays at DGPConfig.solve_precision). Quality-gated policy, TWICE
+    # batch-dependent (benchmarks/QUALITY_GATE_solvebwd.md at B=512,
+    # QUALITY_GATE_B2048.md at B=2048): 'default' (single-pass bf16,
+    # +3-7% step rate) PASSES every natgrad config at minibatch<=512 but
+    # (a) always degrades the all-Adam gate config (converged ELBO
+    # -0.88 -> -0.92 on GG-energy) and (b) at minibatch=2048 COLLAPSES
+    # the deep LGG-kin8nm config into a worse mode (converged ELBO/point
+    # -0.52 vs -0.37, 15k steps, seed 0 — large batches remove the
+    # gradient noise that masked the single-pass bias). 'auto' therefore
+    # relaxes exactly when natgrad layers exist AND minibatch <= 512;
+    # everything else stays exact. 'same'/'high'/'default' force.
     solve_bwd_precision: str = "auto"
 
 
 def resolve_solve_bwd(tc: "TrainConfig", layer_ids) -> str:
     """Resolve TrainConfig.solve_bwd_precision: 'auto' -> 'default' iff any
-    natgrad layer exists (the gate-passing case), else 'same'. Shared by
-    the single-device and sharded trainers."""
+    natgrad layer exists AND the minibatch is <= 512 (the gate-passing
+    envelope — see TrainConfig), else 'same'. Shared by the single-device
+    and sharded trainers."""
     if tc.solve_bwd_precision == "auto":
-        return "default" if layer_ids else "same"
+        return ("default" if layer_ids and tc.minibatch_size <= 512
+                else "same")
     return tc.solve_bwd_precision
 
 

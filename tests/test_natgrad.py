@@ -434,18 +434,27 @@ class TestGammaWarmup:
 
 class TestSolveBwdResolution:
     """TrainConfig.solve_bwd_precision 'auto' policy: relaxed backward dots
-    exactly when natgrad layers exist (the quality-gate-passing case)."""
+    exactly when natgrad layers exist AND minibatch <= 512 — the
+    quality-gate-passing envelope. The batch cap is load-bearing: at
+    B=2048 the relaxation collapsed LGG-kin8nm into a worse mode
+    (ELBO/point -0.52 vs -0.37 at 15k steps; QUALITY_GATE_B2048.md)."""
 
-    def test_auto_resolves_by_natgrad_presence(self):
+    def test_auto_resolves_by_natgrad_presence_and_batch(self):
         from dgps_with_iwvi_tpu.training.train import (TrainConfig,
                                                        resolve_solve_bwd)
 
-        assert resolve_solve_bwd(TrainConfig(), [1]) == "default"
-        assert resolve_solve_bwd(TrainConfig(), []) == "same"
+        assert resolve_solve_bwd(TrainConfig(minibatch_size=512),
+                                 [1]) == "default"
+        assert resolve_solve_bwd(TrainConfig(minibatch_size=512),
+                                 []) == "same"
+        assert resolve_solve_bwd(TrainConfig(minibatch_size=2048),
+                                 [1]) == "same"
         assert resolve_solve_bwd(
-            TrainConfig(solve_bwd_precision="same"), [1]) == "same"
+            TrainConfig(solve_bwd_precision="same",
+                        minibatch_size=512), [1]) == "same"
         assert resolve_solve_bwd(
-            TrainConfig(solve_bwd_precision="default"), []) == "default"
+            TrainConfig(solve_bwd_precision="default",
+                        minibatch_size=8192), []) == "default"
 
     def test_trainer_restores_module_switch_after_trace(self):
         """The trace-time scoping must not leak the policy globally."""

@@ -137,3 +137,91 @@ def test_tile_sizes(n):
     ref = jnp.sum(LTA ** 2, axis=-2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=2e-2 * float(jnp.max(ref)))
+
+
+class TestFusedTrainBackward:
+    """qvar_fused_train: the fused Pallas BACKWARD kernel for training
+    objectives (QVAR_PALLAS_TRAIN). Forward must equal qvar_fused exactly
+    (same kernel); gradients must match reference AD of the mathematical
+    quadratic form to the bf16 rounding class, including the cross-grid
+    VMEM accumulation of dW over both leading-batch and tile dims."""
+
+    def _data(self, seed=0, S=3, M=16, N=256, D=4):
+        rng = np.random.RandomState(seed)
+        A = jnp.asarray(rng.randn(S, M, N).astype(np.float32))
+        L = jnp.asarray(np.tril(rng.randn(D, M, M)).astype(np.float32)
+                        + 2.0 * np.eye(M, dtype=np.float32))
+        return A, L
+
+    @pytest.mark.parametrize("cov", [False, True])
+    def test_forward_equals_qvar_fused(self, cov):
+        from dgps_with_iwvi_tpu.ops.pallas.qvar import qvar_fused_train
+        A, L = self._data()
+        W = L if not cov else L @ jnp.swapaxes(L, -1, -2)
+        out = qvar_fused_train(A, W, cov, True)
+        ref = qvar_fused(A, W, cov, True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    @pytest.mark.parametrize("cov", [False, True])
+    def test_gradients_match_reference_ad(self, cov):
+        from dgps_with_iwvi_tpu.ops.pallas.qvar import qvar_fused_train
+        A, L = self._data(seed=2)
+        W = L if not cov else L @ jnp.swapaxes(L, -1, -2)
+        w = jnp.cos(jnp.arange(256.0, dtype=jnp.float32))
+
+        def loss_k(A, W):
+            return jnp.sum(qvar_fused_train(A, W, cov, True) * w)
+
+        def loss_r(A, W):
+            if cov:
+                SA = jnp.einsum("dmk,skn->sdmn", W, A)
+                out = jnp.einsum("smn,sdmn->sdn", A, SA)
+            else:
+                LTA = jnp.einsum("dkm,skn->sdmn", W, A)
+                out = jnp.sum(LTA ** 2, -2)
+            return jnp.sum(out * w)
+
+        gA_k, gW_k = jax.jit(jax.grad(loss_k, (0, 1)))(A, W)
+        gA_r, gW_r = jax.grad(loss_r, (0, 1))(A, W)
+        for got, ref in ((gA_k, gA_r), (gW_k, gW_r)):
+            assert got.shape == ref.shape
+            assert bool(jnp.all(jnp.isfinite(got)))
+            atol = 2e-2 * float(jnp.max(jnp.abs(ref)))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=5e-2, atol=atol)
+
+    def test_dw_accumulates_over_tiles_and_lead(self):
+        # N spans 2 tiles of 128 and S=4 leading programs: dW must sum all
+        # 8 grid steps' contributions (the VMEM accumulator pattern)
+        from dgps_with_iwvi_tpu.ops.pallas.qvar import qvar_bwd_fused
+        A, L = self._data(seed=3, S=4, N=256)
+        g = jnp.asarray(np.random.RandomState(9).randn(4, 4, 256)
+                        .astype(np.float32))
+        dA, dW = qvar_bwd_fused(A, L, g, False, True)
+
+        def loss(A, W):
+            LTA = jnp.einsum("dkm,skn->sdmn", W, A)
+            return jnp.sum(jnp.sum(LTA ** 2, -2) * g)
+
+        gA_r, gW_r = jax.grad(loss, (0, 1))(A, L)
+        atol = 2e-2 * float(jnp.max(jnp.abs(gW_r)))
+        np.testing.assert_allclose(np.asarray(dW), np.asarray(gW_r),
+                                   rtol=5e-2, atol=atol)
+        atolA = 2e-2 * float(jnp.max(jnp.abs(gA_r)))
+        np.testing.assert_allclose(np.asarray(dA), np.asarray(gA_r),
+                                   rtol=5e-2, atol=atolA)
+
+    def test_train_gate_policy(self):
+        from dgps_with_iwvi_tpu.ops.pallas import qvar as Q
+        W8 = jnp.zeros((8, 128, 128), jnp.float32)
+        W1 = jnp.zeros((1, 128, 128), jnp.float32)
+        W30 = jnp.zeros((30, 128, 128), jnp.float32)
+        f32 = jnp.dtype(jnp.float32)
+        if jax.default_backend() == "cpu":
+            # kernel never auto-dispatches on CPU
+            assert not Q.applicable_train((20, 128, 8192), W8, f32)
+            return
+        assert Q.applicable_train((20, 128, 8192), W8, f32)       # 65536
+        assert Q.applicable_train((50, 128, 512), W30, f32)       # 15360
+        assert not Q.applicable_train((20, 128, 1024), W8, f32)   # 8192
+        assert not Q.applicable_train((20, 128, 8192), W1, f32)   # d=1
