@@ -103,6 +103,7 @@ def _matmul_split_bwd(fwd_precision, bwd_precision, res, g):
 
 _matmul_split.defvjp(_matmul_split_fwd, _matmul_split_bwd)
 
+
 # Rematerialize the q-variance quadratic form in the backward pass instead
 # of storing its [*, D, M, N] inner product (S A or q_sqrt^T A) as an AD
 # residual. SHAPE-DEPENDENT, measured on v5e (benchmarks/remat_ab.py +
@@ -537,7 +538,13 @@ def base_conditional_whitened(
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     # the mean matmul's cotangent dq_mu = A g feeds the natural-gradient
     # closed form — the known precision-sensitive consumer (docs/PERF.md
-    # natgrad trap) — and is FLOP-trivial (D columns), so it is NOT relaxed
+    # natgrad trap) — and is FLOP-trivial (D columns), so it is NOT
+    # relaxed. (An r4 experiment rewrote its dA cotangent — a rank-D
+    # outer product the roofline flags at 382 us — as an elementwise
+    # broadcast for XLA to fuse: the general sum-over-D form measured
+    # WORSE (5.42 vs 5.00 ms/step at B=8192, the reduce did not fuse)
+    # and the D=1 broadcast form measured NEUTRAL (5.012) — AD's dot is
+    # already optimal here; reverted.)
     mean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp)
     # clamp the cancellation to its mathematical domain: Kff - Qff >= 0,
     # but rounding (especially solve_precision < HIGHEST) can push it
