@@ -217,8 +217,7 @@ class ServingArtifact:
         if Ys.shape != (n, d_out):
             raise ValueError(f"Y must be [{n}, {d_out}] to match X and the "
                              f"artifact's d_out, got {Ys.shape}")
-        outs = []
-        for i, start in enumerate(range(0, n, bs)):
+        def _prep(start):
             xb, yb = X[start:start + bs], Ys[start:start + bs]
             pad = 0 if poly else bs - xb.shape[0]
             if pad:
@@ -226,7 +225,28 @@ class ServingArtifact:
                                                   xb.dtype)])
                 yb = np.concatenate([yb, np.zeros((pad, yb.shape[1]),
                                                   yb.dtype)])
-            outs.append((pad, self._fn(xb, yb, np.int32(seed + i))))
+            # Stage the upload `depth` batches ahead of its dispatch so
+            # H2D overlaps compute on hosts with real DMA engines. On the
+            # axon dev tunnel this is measured NEUTRAL — the tunnel
+            # serializes all transfers at ~13.5 MB/s + ~33 ms/transfer
+            # (docs/PERF.md "Transfer envelope"), so end-to-end delivered
+            # throughput there is transfer-bound (~270k pts/s at B=8192
+            # S=100) whatever the loop does; a fetch-strategy A/B
+            # (72-buffer device_get vs on-device concat to 3 buffers vs
+            # copy_to_host_async) was within noise. The staged structure
+            # is kept because it is the correct shape for production
+            # serving hosts, where H2D/D2H run at GB/s and overlap.
+            return pad, jax.device_put(xb), jax.device_put(yb)
+
+        starts = list(range(0, n, bs))
+        staged = [_prep(s) for s in starts[:depth]]
+        outs = []
+        for i in range(len(starts)):
+            pad, xb_d, yb_d = staged[i]
+            staged[i] = None  # free the reference once dispatched
+            if i + depth < len(starts):
+                staged.append(_prep(starts[i + depth]))
+            outs.append((pad, self._fn(xb_d, yb_d, np.int32(seed + i))))
             if len(outs) >= depth:  # bound in-flight work
                 jax.block_until_ready(outs[-depth][1][0])
         # fetch ALL results in one device_get: per-array np.asarray costs a
