@@ -77,12 +77,15 @@ GATE_CONFIGS = [
 def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
                 solve_bwd="same", gram_fwd="highest", mesh=None,
-                qvar_train="off", minibatch=512):
+                qvar_train="off", minibatch=512, epi="auto",
+                epi_train="auto"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
     from dgps_with_iwvi_tpu.ops import kernels as _kern
 
     _cond.QVAR_BF16_RESIDUAL = qvar_bf16  # trace-time module switch
     _cond.QVAR_PALLAS_TRAIN = qvar_train  # trace-time module switch
+    _cond.EPI_PALLAS = epi  # trace-time module switch
+    _cond.EPI_TRAIN = epi_train  # trace-time module switch
     _kern.GRAM_FWD_PRECISION = gram_fwd  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
@@ -211,6 +214,17 @@ def main(argv=None):
                         "= the flagship config; 2048 puts the gate in the "
                         "regime where the QVAR_PALLAS_TRAIN auto policy "
                         "actually dispatches the fused kernel)")
+    p.add_argument("--epi_pallas", default="auto",
+                   help="EPI_PALLAS for the CANDIDATE runs (the "
+                        "epilogue-fused conditional kernel; 'auto' fires "
+                        "exactly when a q-variance kernel gate fires, so "
+                        "pair with --qvar_pallas_train auto and a large "
+                        "--minibatch to exercise it)")
+    p.add_argument("--epi_train", default="auto",
+                   help="EPI_TRAIN for the CANDIDATE runs ('mean' forces "
+                        "the full epilogue-fused training kernel below "
+                        "its d*n floor — use to gate it at gateable "
+                        "minibatch sizes)")
     p.add_argument("--qvar_pallas_train", default="off",
                    help="QVAR_PALLAS_TRAIN for the candidate: off (default "
                         "— gate the precision knobs alone) | auto | on. "
@@ -290,7 +304,8 @@ def main(argv=None):
                            solve_bwd=args.solve_bwd_precision,
                            gram_fwd=args.gram_fwd_precision,
                            qvar_train=args.qvar_pallas_train,
-                           minibatch=args.minibatch)
+                           minibatch=args.minibatch,
+                           epi=args.epi_pallas, epi_train=args.epi_train)
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -323,6 +338,8 @@ def main(argv=None):
                       "solve_precision": args.solve_precision,
                       "qvar_bf16_residual": args.qvar_bf16_residual,
                       "qvar_pallas_train": args.qvar_pallas_train,
+                      "epi_pallas": args.epi_pallas,
+                      "epi_train": args.epi_train,
                       "minibatch": args.minibatch,
                       "solve_bwd_precision": args.solve_bwd_precision,
                       "gram_fwd_precision": args.gram_fwd_precision},
@@ -348,6 +365,8 @@ def main(argv=None):
                 f"solve_bwd={args.solve_bwd_precision} "
                 f"qvar_bf16={args.qvar_bf16_residual} "
                 f"qvar_pallas_train={args.qvar_pallas_train} "
+                f"epi_pallas={args.epi_pallas} "
+                f"epi_train={args.epi_train} "
                 f"gram_fwd={args.gram_fwd_precision} vs "
                 f"{'all-HIGHEST' if args.reference == 'highest' else 'production defaults'} "
                 f"(minibatch {args.minibatch}), "

@@ -189,6 +189,41 @@ _QVAR_INFERENCE_HINT = False  # set via qvar_inference_mode()
 # for A/B (benchmarks/qvar_pallas_train_ab.py).
 QVAR_PALLAS_TRAIN: bool | str = "auto"
 
+# Fuse the whitened conditional's EPILOGUE (mean = A^T q_mu, the
+# prior-variance sumsq(A), and the q-variance quadratic form) into ONE
+# Pallas pass over each A tile (ops/pallas/qvar.py epi_fused*). After the
+# q-variance kernels eliminated the [D, M, cols] round trip, the remaining
+# A-sized HBM traffic at large batch IS the epilogue: the XLA mean dot and
+# sumsq reduce each re-read A forward, and backward the mean's dA
+# cotangent (q_mu g^T) materializes a full A-sized tensor that the dA add
+# chain re-reads, while dq_mu and the prior cotangent read A again
+# (docs/ROOFLINE_B8192.md). "auto" (default) activates exactly when the
+# corresponding q-variance kernel gate fires (inference hint ->
+# epi_fused; training trace -> epi_fused_train) and q_mu is the standard
+# [M, D] column block; "off" restores the separate-op composition for A/B
+# (benchmarks/epi_fused_ab.py). Precision: quadratic form unchanged
+# (bf16-operand/f32-accumulate); mean, dq_mu and dA_mean run HIGHEST
+# in-kernel vs the XLA path's solve_precision 'high' — strictly tighter.
+EPI_PALLAS: bool | str = "auto"
+
+# Which epilogue variant TRAINING objectives take (inference traces always
+# fuse the full epilogue — measured +9.5% serving). The skinny rank-D mean
+# dots can only run at HIGHEST = 6 bf16 MXU passes in Mosaic (mostly-idle
+# systolic array), so in training the fusion only out-earns its pass count
+# at the largest batch — measured steps/s (benchmarks/epi_fused_ab.py,
+# spc=200, idle host):
+#     shape   d*n     off   ps    mean
+#     B=2048  16384   837   823   796     <- both variants LOSE
+#     year    15360   402   398   384     <- both variants LOSE
+#     B=8192  65536   199   181   203     <- mean +2%, ps -9%
+# "auto" (default): the full (mean) variant iff d*n >= 32768 (splits the
+# measured 16384 loss from the 65536 win), else the separate-op path.
+# "mean"/"ps"/"off" force a variant for A/B. The ps (mean-less) variant is
+# a documented negative: folding only the pure-VPU sumsq terms perturbs
+# XLA's epilogue scheduling enough to lose everywhere measured.
+EPI_TRAIN: str = "auto"
+EPI_TRAIN_MIN_DN = 32768
+
 
 @contextlib.contextmanager
 def qvar_inference_mode():
@@ -258,6 +293,42 @@ def _use_qvar_train_pallas(A: jax.Array, W, vp) -> bool:
     m, n = A.shape[-2], A.shape[-1]
     return (A.dtype == jnp.float32 and m == W.shape[-1]
             and m % 8 == 0 and n % 128 == 0)
+
+
+def _maybe_epi_fused(A, q_sqrt, q_S, vp, q_mu):
+    """Dispatch the epilogue-fused kernel (EPI_PALLAS); None -> fall back
+    to the separate-op composition. Returns (qvar [*, D, N], sumsq [*, N],
+    mean [*, D, N] | None) on the kernel path; a None mean means the
+    caller computes the mean dot itself (the EPI_TRAIN='ps' A/B variant;
+    inference and large-batch training fuse the mean — see EPI_TRAIN)."""
+    if EPI_PALLAS == "off" or EPI_PALLAS is False:
+        return None
+    if q_S is not None and q_S.ndim == 3:
+        W, cov = q_S, True
+    elif q_S is None and q_sqrt is not None and q_sqrt.ndim == 3:
+        W, cov = q_sqrt, False
+    else:
+        return None
+    m = A.shape[-2]
+    if (q_mu.ndim != 2 or q_mu.shape != (m, W.shape[0])
+            or q_mu.dtype != A.dtype):
+        return None
+    from .pallas.qvar import (epi_fused, epi_fused_train, ps_fused_train)
+    interp = jax.default_backend() == "cpu"
+    Wk = W if cov else jnp.tril(W)
+    if _use_qvar_pallas(A, W, vp):
+        return epi_fused(A, Wk, q_mu, cov, interp)
+    if _use_qvar_train_pallas(A, W, vp):
+        mode = EPI_TRAIN
+        if mode == "auto":
+            mode = ("mean" if W.shape[0] * A.shape[-1] >= EPI_TRAIN_MIN_DN
+                    else "off")
+        if mode == "mean":
+            return epi_fused_train(A, Wk, q_mu, cov, interp)
+        if mode == "ps":
+            qv, ss = ps_fused_train(A, Wk, cov, interp)
+            return qv, ss, None
+    return None
 
 
 def _use_bf16_residual(m: int, dtype) -> bool:
@@ -536,6 +607,18 @@ def base_conditional_whitened(
         A = matmul_split_precision(Linv, Kuf, sp, bp)      # [..., M, N]
     else:
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
+    # Epilogue-fused path (EPI_PALLAS): mean + prior sumsq + q-variance in
+    # one Pallas pass over A — active exactly when the q-variance kernel
+    # gates fire; identical math, measured A/B in benchmarks/epi_fused_ab.py
+    epi = _maybe_epi_fused(A, q_sqrt, q_S, vp, q_mu)
+    if epi is not None:
+        qv, ss, mn = epi
+        mean = (jnp.swapaxes(mn, -1, -2) if mn is not None else
+                jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu, precision=sp))
+        fvar_prior = jnp.maximum(Kff_diag - ss, 0.0)
+        return ConditionalOut(mean,
+                              fvar_prior[..., None]
+                              + jnp.swapaxes(qv, -1, -2))
     # the mean matmul's cotangent dq_mu = A g feeds the natural-gradient
     # closed form — the known precision-sensitive consumer (docs/PERF.md
     # natgrad trap) — and is FLOP-trivial (D columns), so it is NOT

@@ -84,17 +84,8 @@ def applicable_train(A_shape, W: jax.Array, dtype) -> bool:
 
 def _qvar_kernel(a_ref, w_ref, out_ref, *, d_out: int, cov: bool):
     a32 = a_ref[0]                                  # [M, TN] f32
-    a = a32.astype(jnp.bfloat16)
-    for d in range(d_out):
-        w = w_ref[d].astype(jnp.bfloat16)           # [M, M]
-        if cov:
-            # T = S_d a ; out_d = sum_m a * T   (f32 accumulation)
-            t = jnp.dot(w, a, preferred_element_type=jnp.float32)
-            out_ref[0, d, :] = jnp.sum(a32 * t, axis=0)
-        else:
-            # T = W_d^T a ; out_d = sum_m T^2
-            t = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
-            out_ref[0, d, :] = jnp.sum(t * t, axis=0)
+    # cov: T = S_d a, out_d = sum_m a*T; root: T = W_d^T a, out_d = sum T^2
+    _qvar_loop(a32, a32.astype(jnp.bfloat16), w_ref, out_ref, d_out, cov)
 
 
 def _pick_tile(n: int) -> int:
@@ -307,3 +298,406 @@ def _qvar_train_bwd(cov, interpret, res, g):
 
 
 qvar_fused_train.defvjp(_qvar_train_fwd, _qvar_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Epilogue-fused variants: the whole whitened-conditional EPILOGUE —
+#
+#     mean_d  = q_mu_d^T A          ([M, D]^T [*, M, N] -> [*, D, N])
+#     sumsq   = sum_m A^2           (the Kff - Qff prior-variance term)
+#     qvar_d  = quadratic form      (exactly qvar_fused)
+#
+# — in ONE pass over each A tile. Rationale (docs/ROOFLINE_B8192.md): at
+# the B=8192 training shape A is 84 MB per layer, and after the fused
+# q-variance kernels removed the [D, M, N] round trip, the REMAINING
+# A-sized traffic is the epilogue itself: the XLA mean dot and the sumsq
+# reduce each re-read A forward (~210 us), and the mean's backward
+# materializes dA_mean = q_mu g^T as a FULL A-sized tensor (the 382 us
+# roofline row) that is then re-read by the dA add chain, while dq_mu and
+# the prior cotangent each read A again. Folding these into the existing
+# winning kernels adds only rank-D MXU dots and a VPU reduce per tile
+# (independent of the per-d main dots, so they pipeline — unlike the
+# serial-chain fully-fused conditional that measured negative, see
+# ops/pallas/conditional.py) and eliminates every epilogue-sized HBM
+# transfer except A's single read.
+#
+# Precision: the main quadratic-form dots keep the measured bf16-operand /
+# f32-accumulate pipeline (var_precision='default' class). The mean dot,
+# dq_mu and dA_mean run at Precision.HIGHEST f32 in-kernel — the XLA path
+# runs them at solve_precision 'high' (bf16x3), so the fused epilogue is
+# strictly tighter there (Mosaic lowers f32 dots at DEFAULT/HIGHEST only).
+# sumsq and its cotangent are exact f32 VPU math, as in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _qvar_loop(a32, a, w_ref, out_ref, d_out: int, cov: bool):
+    """Shared per-d quadratic-form loop (bf16 operands, f32 MXU accum)."""
+    for d in range(d_out):
+        w = w_ref[d].astype(jnp.bfloat16)           # [M, M]
+        if cov:
+            t = jnp.dot(w, a, preferred_element_type=jnp.float32)
+            out_ref[0, d, :] = jnp.sum(a32 * t, axis=0)
+        else:
+            t = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
+            out_ref[0, d, :] = jnp.sum(t * t, axis=0)
+
+
+def _epi_kernel(a_ref, w_ref, qmu_ref, out_ref, ss_ref, mean_ref, *,
+                d_out: int, cov: bool):
+    a32 = a_ref[0]                                  # [M, TN] f32
+    ss_ref[0, 0, :] = jnp.sum(a32 * a32, axis=0)
+    mean_ref[0] = jnp.dot(qmu_ref[...].T, a32,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # [D, TN]
+    _qvar_loop(a32, a32.astype(jnp.bfloat16), w_ref, out_ref, d_out, cov)
+
+
+def _ps_kernel(a_ref, w_ref, out_ref, ss_ref, *, d_out: int, cov: bool):
+    """qvar + prior sumsq only (no mean): the pure-VPU epilogue subset —
+    the sumsq reduce and its cotangent add zero MXU passes, so it wins at
+    shapes where the skinny HIGHEST mean dots do not amortize."""
+    a32 = a_ref[0]                                  # [M, TN] f32
+    ss_ref[0, 0, :] = jnp.sum(a32 * a32, axis=0)
+    _qvar_loop(a32, a32.astype(jnp.bfloat16), w_ref, out_ref, d_out, cov)
+
+
+def _epi_call(A, W, q_mu, cov: bool, interpret: bool):
+    """(qvar, sumsq[, mean]) fused forward; q_mu=None -> the mean-less
+    _ps_kernel (mean stays a separate XLA dot)."""
+    lead = A.shape[:-2]
+    m, n = A.shape[-2:]
+    d = W.shape[0]
+    L = 1
+    for s in lead:
+        L *= s
+    Ab = A.reshape((L, m, n))
+    tn = _pick_tile(n)
+    with_mean = q_mu is not None
+    a_spec = pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    qv_spec = pl.BlockSpec((1, d, tn), lambda l, t: (l, 0, t),
+                           memory_space=pltpu.VMEM)
+    ss_spec = pl.BlockSpec((1, 1, tn), lambda l, t: (l, 0, t),
+                           memory_space=pltpu.VMEM)
+    qv_shape = jax.ShapeDtypeStruct((L, d, n), jnp.float32)
+    ss_shape = jax.ShapeDtypeStruct((L, 1, n), jnp.float32)
+    if with_mean:
+        kernel = functools.partial(_epi_kernel, d_out=d, cov=cov)
+        in_specs = [a_spec, w_spec,
+                    pl.BlockSpec((m, d), lambda l, t: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_specs = [qv_spec, ss_spec, qv_spec]
+        out_shape = [qv_shape, ss_shape, qv_shape]
+        args = (Ab, W, q_mu)
+    else:
+        kernel = functools.partial(_ps_kernel, d_out=d, cov=cov)
+        in_specs = [a_spec, w_spec]
+        out_specs = [qv_spec, ss_spec]
+        out_shape = [qv_shape, ss_shape]
+        args = (Ab, W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, n // tn),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * L * d * m * m * n + 4 * L * m * n
+                      + (2 * L * m * n * d if with_mean else 0)),
+            bytes_accessed=int(L * m * n * 4 + d * m * m * 4
+                               + (1 + with_mean) * L * d * n * 4
+                               + L * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    qv, ss = out[0], out[1]
+    ret = (qv.reshape(lead + (d, n)), ss.reshape(lead + (n,)))
+    if with_mean:
+        ret += (out[2].reshape(lead + (d, n)),)
+    return ret
+
+
+def _epi_xla_bwd(A, W, q_mu, cov, g):
+    """Recompute backward of the fused epilogue in plain XLA ops (used by
+    the inference-trace variant, where grad-through-prediction is rare).
+    Mathematical gradients at f32; mean terms at HIGHEST like the kernel.
+    """
+    g_qv, g_ss, g_mn = g
+    hp = jax.lax.Precision.HIGHEST
+    dA_q, dW = _qvar_bwd(cov, False, (A, W), g_qv)
+    dA = dA_q + 2.0 * A * g_ss[..., None, :]
+    dA = dA + jnp.matmul(q_mu, g_mn, precision=hp)     # [M,D]x[*,D,N]
+    dqmu = jnp.einsum("...mn,...dn->md", A, g_mn,
+                      precision=hp)
+    return dA, dW, dqmu
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def epi_fused(A: jax.Array, W: jax.Array, q_mu: jax.Array,
+              cov: bool = False, interpret: bool = False):
+    """(qvar [*, D, N], sumsq [*, N], mean [*, D, N]) in one fused pass.
+
+    Inference-trace variant: backward recomputes through XLA (prediction
+    paths are rarely differentiated; the point of this kernel is the
+    forward's single read of A).
+    """
+    return _epi_call(A, W, q_mu, cov, interpret)
+
+
+def _epi_fwd(A, W, q_mu, cov, interpret):
+    return _epi_call(A, W, q_mu, cov, interpret), (A, W, q_mu)
+
+
+def _epi_bwd(cov, interpret, res, g):
+    A, W, q_mu = res
+    return _epi_xla_bwd(A, W, q_mu, cov, g)
+
+
+epi_fused.defvjp(_epi_fwd, _epi_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ps_fused(A: jax.Array, W: jax.Array, cov: bool = False,
+             interpret: bool = False):
+    """(qvar [*, D, N], sumsq [*, N]) in one fused pass — the mean-less
+    epilogue subset (the mean stays a separate XLA dot). Inference-trace
+    variant: backward recomputes through XLA."""
+    return _epi_call(A, W, None, cov, interpret)
+
+
+def _ps_fwd(A, W, cov, interpret):
+    return _epi_call(A, W, None, cov, interpret), (A, W)
+
+
+def _ps_bwd(cov, interpret, res, g):
+    A, W = res
+    g_qv, g_ss = g
+    dA_q, dW = _qvar_bwd(cov, False, (A, W), g_qv)
+    return dA_q + 2.0 * A * g_ss[..., None, :], dW
+
+
+ps_fused.defvjp(_ps_fwd, _ps_bwd)
+
+
+def _epi_bwd_kernel(a_ref, w_ref, qmu_ref, gq_ref, gs_ref, gm_ref,
+                    da_ref, dw_ref, dqmu_ref, *, d_out: int, cov: bool):
+    a32 = a_ref[0]                                   # [M, TN] f32
+    a = a32.astype(jnp.bfloat16)
+    hp = jax.lax.Precision.HIGHEST
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dqmu_ref[...] = jnp.zeros_like(dqmu_ref)
+
+    gm = gm_ref[0]                                   # [D, TN] f32
+    # prior sumsq term: d(sum A^2)/dA = 2A, cotangent g_ss
+    da = 2.0 * a32 * gs_ref[0, 0, :][None, :]
+    # mean term: dA += q_mu g_mn  (HIGHEST, matches the forward's class)
+    da = da + jnp.dot(qmu_ref[...], gm,
+                      preferred_element_type=jnp.float32, precision=hp)
+    dqmu_ref[...] = dqmu_ref[...] + jnp.dot(
+        a32, gm.T, preferred_element_type=jnp.float32, precision=hp)
+    for d in range(d_out):
+        w = w_ref[d].astype(jnp.bfloat16)            # [M, M]
+        gd = gq_ref[0, d, :][None, :]                # [1, TN] f32
+        if cov:
+            sa = jnp.dot(w, a, preferred_element_type=jnp.float32)
+            ga = (a32 * gd).astype(jnp.bfloat16)
+            da = da + gd * sa
+            da = da + jnp.dot(w.T, ga, preferred_element_type=jnp.float32)
+            dw_ref[d] = dw_ref[d] + jnp.dot(
+                ga, a.T, preferred_element_type=jnp.float32)
+        else:
+            t = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
+            dt = (2.0 * gd * t).astype(jnp.bfloat16)
+            da = da + jnp.dot(w, dt, preferred_element_type=jnp.float32)
+            dw_ref[d] = dw_ref[d] + jnp.dot(
+                a, dt.T, preferred_element_type=jnp.float32)
+    da_ref[0] = da
+
+
+def epi_bwd_fused(A, W, q_mu, g_qv, g_ss, g_mn, cov: bool,
+                  interpret: bool = False):
+    """Fused backward of the epilogue: (dA, dW, dq_mu) with the inner
+    product recomputed tile-wise (qvar_bwd_fused) plus the mean and
+    prior-variance cotangent terms folded into the same dA tile. dW and
+    dq_mu accumulate across the grid in VMEM-resident blocks."""
+    lead = A.shape[:-2]
+    m, n = A.shape[-2:]
+    d = W.shape[0]
+    L = 1
+    for s in lead:
+        L *= s
+    Ab = A.reshape((L, m, n))
+    gqb = g_qv.reshape((L, d, n))
+    gsb = g_ss.reshape((L, 1, n))
+    gmb = g_mn.reshape((L, d, n))
+    tn = _pick_tile(n)
+    kernel = functools.partial(_epi_bwd_kernel, d_out=d, cov=cov)
+    dA, dW, dqmu = pl.pallas_call(
+        kernel,
+        grid=(L, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda l, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, m, n), jnp.float32),
+            jax.ShapeDtypeStruct((d, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * L * d * m * m * n + 4 * L * m * n * d),
+            bytes_accessed=int(2 * L * m * n * 4 + 2 * L * d * n * 4
+                               + L * n * 4 + 2 * d * m * m * 4
+                               + 2 * m * d * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Ab, W, q_mu, gqb, gsb, gmb)
+    return dA.reshape(A.shape), dW, dqmu
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def epi_fused_train(A: jax.Array, W: jax.Array, q_mu: jax.Array,
+                    cov: bool = False, interpret: bool = False):
+    """epi_fused with the fused Pallas backward — the training-objective
+    entry point (ops/conditionals.py EPI_PALLAS policy)."""
+    return _epi_call(A, W, q_mu, cov, interpret)
+
+
+def _epi_train_fwd(A, W, q_mu, cov, interpret):
+    return _epi_call(A, W, q_mu, cov, interpret), (A, W, q_mu)
+
+
+def _epi_train_bwd(cov, interpret, res, g):
+    A, W, q_mu = res
+    g_qv, g_ss, g_mn = g
+    return epi_bwd_fused(A, W, q_mu, g_qv, g_ss, g_mn, cov, interpret)
+
+
+epi_fused_train.defvjp(_epi_train_fwd, _epi_train_bwd)
+
+
+def _ps_bwd_kernel(a_ref, w_ref, gq_ref, gs_ref, da_ref, dw_ref, *,
+                   d_out: int, cov: bool):
+    a32 = a_ref[0]                                   # [M, TN] f32
+    a = a32.astype(jnp.bfloat16)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    # prior sumsq term: d(sum A^2)/dA = 2A, cotangent g_ss — pure VPU
+    da = 2.0 * a32 * gs_ref[0, 0, :][None, :]
+    for d in range(d_out):
+        w = w_ref[d].astype(jnp.bfloat16)            # [M, M]
+        gd = gq_ref[0, d, :][None, :]                # [1, TN] f32
+        if cov:
+            sa = jnp.dot(w, a, preferred_element_type=jnp.float32)
+            ga = (a32 * gd).astype(jnp.bfloat16)
+            da = da + gd * sa
+            da = da + jnp.dot(w.T, ga, preferred_element_type=jnp.float32)
+            dw_ref[d] = dw_ref[d] + jnp.dot(
+                ga, a.T, preferred_element_type=jnp.float32)
+        else:
+            t = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
+            dt = (2.0 * gd * t).astype(jnp.bfloat16)
+            da = da + jnp.dot(w, dt, preferred_element_type=jnp.float32)
+            dw_ref[d] = dw_ref[d] + jnp.dot(
+                a, dt.T, preferred_element_type=jnp.float32)
+    da_ref[0] = da
+
+
+def ps_bwd_fused(A, W, g_qv, g_ss, cov: bool, interpret: bool = False):
+    """Fused backward of the mean-less epilogue: (dA, dW) with the prior
+    cotangent folded into the recompute-tile dA (qvar_bwd_fused + one VPU
+    FMA per tile)."""
+    lead = A.shape[:-2]
+    m, n = A.shape[-2:]
+    d = W.shape[0]
+    L = 1
+    for s in lead:
+        L *= s
+    Ab = A.reshape((L, m, n))
+    gqb = g_qv.reshape((L, d, n))
+    gsb = g_ss.reshape((L, 1, n))
+    tn = _pick_tile(n)
+    kernel = functools.partial(_ps_bwd_kernel, d_out=d, cov=cov)
+    dA, dW = pl.pallas_call(
+        kernel,
+        grid=(L, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m, m), lambda l, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, m, n), jnp.float32),
+            jax.ShapeDtypeStruct((d, m, m), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * L * d * m * m * n + 2 * L * m * n),
+            bytes_accessed=int(2 * L * m * n * 4 + L * d * n * 4
+                               + L * n * 4 + 2 * d * m * m * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Ab, W, gqb, gsb)
+    return dA.reshape(A.shape), dW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ps_fused_train(A: jax.Array, W: jax.Array, cov: bool = False,
+                   interpret: bool = False):
+    """ps_fused with the fused Pallas backward — the training-objective
+    entry point for the mean-less epilogue."""
+    return _epi_call(A, W, None, cov, interpret)
+
+
+def _ps_train_fwd(A, W, cov, interpret):
+    return _epi_call(A, W, None, cov, interpret), (A, W)
+
+
+def _ps_train_bwd(cov, interpret, res, g):
+    A, W = res
+    g_qv, g_ss = g
+    return ps_bwd_fused(A, W, g_qv, g_ss, cov, interpret)
+
+
+ps_fused_train.defvjp(_ps_train_fwd, _ps_train_bwd)
