@@ -26,6 +26,7 @@ from ..models import dgp
 from ..models.layers import LatentVarMode
 from ..ops import likelihoods
 from ..training import natgrad as ng
+from ..training import train as train_mod
 from ..training.train import (TrainConfig, TrainState, _merge_params,
                               _split_params, gamma_schedule,
                               resolve_solve_bwd)
@@ -157,8 +158,13 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
         N_local = Xl.shape[0]
         idx = jax.random.randint(jax.random.fold_in(kb, i_dp),
                                  (B_local,), 0, N_local)
-        xb = jnp.take(Xl, idx, axis=0)
-        yb = jnp.take(Yl, idx, axis=0)
+        if train_mod.FUSED_GATHER and Xl.dtype == Yl.dtype:
+            # one latency-bound row gather instead of two (train.py policy)
+            b = jnp.take(jnp.concatenate([Xl, Yl], axis=1), idx, axis=0)
+            xb, yb = b[:, :Xl.shape[1]], b[:, Xl.shape[1]:]
+        else:
+            xb = jnp.take(Xl, idx, axis=0)
+            yb = jnp.take(Yl, idx, axis=0)
         gidx = global_row_ids(i_dp, idx, N_local, config.num_data)
         # sample keys: distinct per (dp, k)
         kloc = jax.random.fold_in(jax.random.fold_in(ke, i_dp), i_k)

@@ -71,6 +71,13 @@ class TrainConfig:
     solve_bwd_precision: str = "auto"
 
 
+# ONE row gather over the concatenated [N, Dx+Dy] table per minibatch draw
+# instead of two (X then Y): the gathers are latency-bound, not bandwidth-
+# bound (docs/ROOFLINE_B8192.md minibatch row), so halving the count is the
+# only lever. Module switch for A/B (benchmarks/gather_ab.py).
+FUSED_GATHER = True
+
+
 def resolve_solve_bwd(tc: "TrainConfig", layer_ids) -> str:
     """Resolve TrainConfig.solve_bwd_precision: 'auto' -> 'default' iff any
     natgrad layer exists AND the minibatch is <= 512 (the gate-passing
@@ -153,6 +160,13 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
         if tc.minibatch_size >= N:
             return X, Y, jnp.arange(N)
         idx = jax.random.randint(key, (tc.minibatch_size,), 0, N)
+        if FUSED_GATHER and X.dtype == Y.dtype:
+            # ONE row gather over the concatenated [N, Dx+Dy] table instead
+            # of two (the gathers are latency-bound — docs/ROOFLINE_B8192.md
+            # minibatch row); the loop-invariant concat is hoisted out of
+            # the scan body by XLA LICM
+            b = jnp.take(jnp.concatenate([X, Y], axis=1), idx, axis=0)
+            return b[:, :X.shape[1]], b[:, X.shape[1]:], idx
         return jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0), idx
 
     def step_fn(state: TrainState, X, Y, key):
