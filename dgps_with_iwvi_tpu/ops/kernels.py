@@ -180,6 +180,9 @@ def split_token(token: str) -> tuple:
     half-open range, '[i,j,...]' an explicit list, '[i]' one column."""
     name, bracket, spec = token.partition("[")
     name = name.strip()
+    # gpflow alias (gpflow:gpflow/kernels.py Exponential == Matern-1/2)
+    if name == "exponential":
+        name = "matern12"
     if name not in LEAF_KINDS and coregion_shape(name) is None:
         raise ValueError(f"unknown kernel kind {name!r} in {token!r}; "
                          f"leaves: {LEAF_KINDS} + 'coregion<C>x<R>'")

@@ -409,3 +409,18 @@ class TestCoregion:
         assert np.isfinite(v)
         kp = params["layers"][0]["kernel"]["terms"][0][1]
         assert kp["W"].shape == (3, 1) and kp["raw_kappa"].shape == (3,)
+
+
+def test_exponential_alias_is_matern12():
+    """gpflow kernel-name parity: 'exponential' == Matern-1/2
+    (gpflow:gpflow/kernels.py Exponential)."""
+    X = jnp.asarray(RNG.randn(12, 3))
+    X2 = jnp.asarray(RNG.randn(7, 3))
+    p = kernels.kernel_params("exponential", 3)
+    p2 = kernels.kernel_params("matern12", 3)
+    np.testing.assert_allclose(
+        np.asarray(kernels.K(p, X, X2, kind="exponential")),
+        np.asarray(kernels.K(p2, X, X2, kind="matern12")), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(kernels.Kdiag(p, X, kind="exponential")),
+        np.asarray(kernels.Kdiag(p2, X, kind="matern12")), rtol=1e-6)
