@@ -30,6 +30,7 @@ measured faster than recompute at M <= 256 (docs/PERF.md ledger).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -330,6 +331,40 @@ qvar_fused_train.defvjp(_qvar_train_fwd, _qvar_train_bwd)
 # ---------------------------------------------------------------------------
 
 
+# Precision of the in-kernel MEAN-term dots (forward mean, dq_mu, dA_mean).
+# Mosaic lowers f32 dots at DEFAULT (1 bf16 pass) or HIGHEST (6) only; the
+# XLA path runs these at solve_precision 'high' (bf16x3). "highest" = 6
+# passes; "high" = 3-pass hi/lo-split emulation of the XLA class (_dot3);
+# "default" = 1 pass (A/B only — dq_mu feeds the natgrad closed form, the
+# known precision-sensitive consumer). Measured: see docs/PERF.md ledger.
+EPI_MEAN_PRECISION = os.environ.get("DGP_EPI_MEAN_PRECISION", "high")
+
+
+def _mean_dot(x, y):
+    if EPI_MEAN_PRECISION == "highest":
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if EPI_MEAN_PRECISION == "high":
+        return _dot3(x, y)
+    return jnp.dot(x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _dot3(x, y):
+    """bf16x3 emulated f32 dot (the XLA Precision.HIGH class): hi/lo bf16
+    operand split, f32 MXU accumulation, 3 passes instead of HIGHEST's 6.
+    Error term dropped: xl @ yl (the xl*yl products are ~2^-16 relative —
+    exactly what XLA's HIGH drops too)."""
+    f32 = jnp.float32
+    xh = x.astype(jnp.bfloat16)
+    yh = y.astype(jnp.bfloat16)
+    xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+    yl = (y - yh.astype(f32)).astype(jnp.bfloat16)
+    return (jnp.dot(xh, yh, preferred_element_type=f32)
+            + jnp.dot(xh, yl, preferred_element_type=f32)
+            + jnp.dot(xl, yh, preferred_element_type=f32))
+
+
 def _qvar_loop(a32, a, w_ref, out_ref, d_out: int, cov: bool):
     """Shared per-d quadratic-form loop (bf16 operands, f32 MXU accum)."""
     for d in range(d_out):
@@ -346,9 +381,7 @@ def _epi_kernel(a_ref, w_ref, qmu_ref, out_ref, ss_ref, mean_ref, *,
                 d_out: int, cov: bool):
     a32 = a_ref[0]                                  # [M, TN] f32
     ss_ref[0, 0, :] = jnp.sum(a32 * a32, axis=0)
-    mean_ref[0] = jnp.dot(qmu_ref[...].T, a32,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)  # [D, TN]
+    mean_ref[0] = _mean_dot(qmu_ref[...].T, a32)    # [D, TN]
     _qvar_loop(a32, a32.astype(jnp.bfloat16), w_ref, out_ref, d_out, cov)
 
 
@@ -497,11 +530,9 @@ def _epi_bwd_kernel(a_ref, w_ref, qmu_ref, gq_ref, gs_ref, gm_ref,
     gm = gm_ref[0]                                   # [D, TN] f32
     # prior sumsq term: d(sum A^2)/dA = 2A, cotangent g_ss
     da = 2.0 * a32 * gs_ref[0, 0, :][None, :]
-    # mean term: dA += q_mu g_mn  (HIGHEST, matches the forward's class)
-    da = da + jnp.dot(qmu_ref[...], gm,
-                      preferred_element_type=jnp.float32, precision=hp)
-    dqmu_ref[...] = dqmu_ref[...] + jnp.dot(
-        a32, gm.T, preferred_element_type=jnp.float32, precision=hp)
+    # mean terms at EPI_MEAN_PRECISION (matches/bounds the XLA class)
+    da = da + _mean_dot(qmu_ref[...], gm)
+    dqmu_ref[...] = dqmu_ref[...] + _mean_dot(a32, gm.T)
     for d in range(d_out):
         w = w_ref[d].astype(jnp.bfloat16)            # [M, M]
         gd = gq_ref[0, d, :][None, :]                # [1, TN] f32

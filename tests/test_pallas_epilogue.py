@@ -261,3 +261,38 @@ def test_epi_respects_portability_override():
         assert C._maybe_epi_fused(A, L, None, vp, qmu[:, :2]) is None
     finally:
         C.QVAR_PALLAS = saved
+
+
+def test_mean_dot3_precision_class():
+    """EPI_MEAN_PRECISION='high' (_dot3: hi/lo bf16-split, 3 MXU passes)
+    must land in the XLA Precision.HIGH error class: orders of magnitude
+    tighter than a single bf16 pass, within ~2^-16 relative of the exact
+    f32 dot (the dropped xl@yl term)."""
+    from dgps_with_iwvi_tpu.ops.pallas import qvar
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    y = jnp.asarray(rng.randn(128, 96).astype(np.float32))
+    exact = np.asarray(
+        jnp.dot(x, y, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32))
+    scale = np.abs(exact).max()
+    err3 = np.abs(np.asarray(qvar._dot3(x, y)) - exact).max() / scale
+    err1 = np.abs(np.asarray(
+        jnp.dot(x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)) - exact).max() / scale
+    assert err3 < 2e-5, err3                 # ~bf16^2 class
+    assert err1 > 20 * err3                  # 1-pass is much looser
+    # and the dispatcher honors the three named classes
+    saved = qvar.EPI_MEAN_PRECISION
+    try:
+        qvar.EPI_MEAN_PRECISION = "highest"
+        np.testing.assert_allclose(np.asarray(qvar._mean_dot(x, y)), exact,
+                                   rtol=0, atol=0)
+        qvar.EPI_MEAN_PRECISION = "high"
+        assert np.abs(np.asarray(qvar._mean_dot(x, y)) - exact).max() > 0
+        qvar.EPI_MEAN_PRECISION = "default"
+        d1 = np.abs(np.asarray(qvar._mean_dot(x, y)) - exact).max() / scale
+        np.testing.assert_allclose(d1, err1)
+    finally:
+        qvar.EPI_MEAN_PRECISION = saved
