@@ -71,6 +71,13 @@ GATE_CONFIGS = [
     ("LG-kin8nm natgrad", "kin8nm", "LG", "IW", 5, "final"),
     ("LGG-kin8nm natgrad", "kin8nm", "LGG", "IW", 20, "final"),
     ("GG-energy ADAM-ONLY", "energy", "GG", "VI", 1, "none"),
+    # BASELINE.md config 5 (year scale): the one shape regime that stacks
+    # EVERY production relaxation at once — remat (98 MB residual), bf16
+    # residual, the fused train kernel (d*n=15360 clears its floor), the
+    # epilogue policy, solve_bwd — yet was absent from the gate set until
+    # r5 (the B=2048 solve_bwd collapse showed gates catch what A/Bs
+    # miss). N=515345 keeps it minibatched at every gate batch size.
+    ("LGGG-year natgrad", "year", "LGGG", "IW", 50, "final"),
 ]
 
 
@@ -78,7 +85,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
                 solve_bwd="same", gram_fwd="highest", mesh=None,
                 qvar_train="off", minibatch=512, epi="auto",
-                epi_train="auto"):
+                epi_train="auto", full_batch="auto"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
     from dgps_with_iwvi_tpu.ops import kernels as _kern
 
@@ -97,18 +104,28 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
     tc = TrainConfig(lr=5e-3, gamma=1e-2, natgrad=natgrad,
                      minibatch_size=minibatch, iterations=iterations,
                      steps_per_call=min(500, iterations),
-                     solve_bwd_precision=solve_bwd)
+                     solve_bwd_precision=solve_bwd,
+                     full_batch_precision=full_batch)
     losses = []
     tr, _ = fit(key, cfg, params, X, Y, tc,
                 callback=lambda s, l, _st: losses.append(l), mesh=mesh)
     nb = min(2048, X.shape[0])
     # the bound is an MC estimate for LV/IW models (per-point SE ~1e-3 at
     # this batch size) — average 8 eval keys so eval noise cannot flip the
-    # gate; trajectory-level noise is handled by the seed-band calibration
-    ej = jax.jit(lambda k: elbo(tr, cfg, X[:nb], Y[:nb], k))
+    # gate; trajectory-level noise is handled by the seed-band calibration.
+    # MEASUREMENT precision is pinned to highest for BOTH sides: the gate
+    # compares TRAINED-PARAMETER quality, and evaluating each side with its
+    # own knobs mixes eval rounding into the verdict (measured 2.7e-3 rel
+    # on LGG-kin8nm B=8192 — bit-identical trajectories, different eval
+    # precision — vs the 1e-3 tolerance floor; r5)
+    import dataclasses as _dc
+    cfg_eval = _dc.replace(cfg, var_precision="highest",
+                           solve_precision="highest")
+    ej = jax.jit(lambda k: elbo(tr, cfg_eval, X[:nb], Y[:nb], k))
     e = float(np.mean([float(ej(jax.random.PRNGKey(100 + i)))
                        for i in range(8)])) / cfg.num_data
-    m = evaluate(tr, cfg, data.X_test, data.Y_test, jax.random.PRNGKey(100),
+    m = evaluate(tr, cfg_eval, data.X_test, data.Y_test,
+                 jax.random.PRNGKey(100),
                  y_std=data.Y_std, num_samples=100)
     return {"elbo_per_point": e, "test_nll": -m["test_loglik"],
             "test_rmse": m["test_rmse"],
@@ -244,6 +261,25 @@ def main(argv=None):
                         "dot (kernels.GRAM_FWD_PRECISION); 'high' = bf16x3, "
                         "~1.5e-5 max rel gram error vs 4.8e-7 at 'highest'; "
                         "the all-HIGHEST reference always runs 'highest'")
+    p.add_argument("--full_batch_precision", default="auto",
+                   choices=["auto", "off"],
+                   help="candidate TrainConfig.full_batch_precision: 'auto' "
+                        "= the shipped B >= N escalation policy "
+                        "(train.resolve_full_batch), 'off' reproduces the "
+                        "pre-escalation behavior (the r4 B=8192 FAIL)")
+    p.add_argument("--reuse_ref", default=None, metavar="VERDICT_JSON",
+                   help="reuse the all-HIGHEST reference rows (both seeds) "
+                        "from a previous gate verdict JSON instead of "
+                        "re-training them — valid only when minibatch/"
+                        "iterations match and that verdict's reference was "
+                        "'highest' (the escalation policy provably leaves "
+                        "the all-HIGHEST trajectory unchanged: every knob "
+                        "it touches is already at its exact setting there)")
+    p.add_argument("--configs", default=None,
+                   help="comma-separated substrings selecting a SUBSET of "
+                        "GATE_CONFIGS (e.g. 'LGG-kin8nm') — for isolating "
+                        "which config a candidate knob breaks; a subset run "
+                        "is diagnostic, not a shippable gate verdict")
     p.add_argument("--quick", action="store_true",
                    help="smoke mode: 500 iterations, loose tolerances")
     p.add_argument("--mesh", default=None, metavar="DPxK",
@@ -276,8 +312,27 @@ def main(argv=None):
     if args.mesh:
         return run_mesh_gate(args)
 
+    reuse = None
+    if args.reuse_ref:
+        with open(args.reuse_ref) as f:
+            prev = json.load(f)
+        assert prev["candidate"]["minibatch"] == args.minibatch, \
+            (prev["candidate"]["minibatch"], args.minibatch)
+        assert prev["iterations"] == args.iterations
+        assert prev["reference"].get("var_precision") == "highest" \
+            and args.reference == "highest", \
+            "--reuse_ref requires all-HIGHEST references on both sides"
+        reuse = {r["config"]: r for r in prev["rows"]}
+
+    gate_configs = GATE_CONFIGS
+    if args.configs:
+        sel = [s.strip() for s in args.configs.split(",")]
+        gate_configs = [g for g in GATE_CONFIGS
+                        if any(s in g[0] for s in sel)]
+        assert gate_configs, (args.configs, [g[0] for g in GATE_CONFIGS])
+
     rows, ok_all = [], True
-    for gc in GATE_CONFIGS:
+    for gc in gate_configs:
         label = gc[0]
         t0 = time.time()
         if args.reference == "production":
@@ -286,16 +341,26 @@ def main(argv=None):
         else:
             ref_kw = dict(var_precision="highest", solve_precision="highest",
                           qvar_bf16=False)
-        ref = run_setting(*gc, minibatch=args.minibatch,
-                          iterations=args.iterations, **ref_kw)
-        # second reference SEED at the same (highest) setting: two
-        # RNG-different trajectories land at different points of the
-        # optimizer's stationary distribution, so the seed band is the
-        # noise floor any candidate comparison must respect — a candidate
-        # cannot be held to a tighter tolerance than the reference's own
-        # run-to-run variation (measured ~2e-3 rel on LGG-kin8nm)
-        ref2 = run_setting(*gc, minibatch=args.minibatch,
-                           iterations=args.iterations, seed=1, **ref_kw)
+        if reuse is not None and label in reuse:
+            pr = reuse[label]
+            ref = {"elbo_per_point": pr["elbo_ref"],
+                   "test_nll": pr["nll_ref"], "finite": pr["finite"]}
+            # only the BAND of seed 1 is persisted; reconstruct a value at
+            # the recorded distance — the gate consumes |ref2 - ref| only
+            ref2 = {"elbo_per_point": pr["elbo_ref_seed1"],
+                    "test_nll": pr["nll_ref"] + pr["seed_band_nll"],
+                    "finite": pr["finite"]}
+        else:
+            ref = run_setting(*gc, minibatch=args.minibatch,
+                              iterations=args.iterations, **ref_kw)
+            # second reference SEED at the same (highest) setting: two
+            # RNG-different trajectories land at different points of the
+            # optimizer's stationary distribution, so the seed band is the
+            # noise floor any candidate comparison must respect — a candidate
+            # cannot be held to a tighter tolerance than the reference's own
+            # run-to-run variation (measured ~2e-3 rel on LGG-kin8nm)
+            ref2 = run_setting(*gc, minibatch=args.minibatch,
+                               iterations=args.iterations, seed=1, **ref_kw)
         cand = run_setting(*gc, var_precision=args.var_precision,
                            solve_precision=args.solve_precision,
                            iterations=args.iterations,
@@ -305,7 +370,8 @@ def main(argv=None):
                            gram_fwd=args.gram_fwd_precision,
                            qvar_train=args.qvar_pallas_train,
                            minibatch=args.minibatch,
-                           epi=args.epi_pallas, epi_train=args.epi_train)
+                           epi=args.epi_pallas, epi_train=args.epi_train,
+                           full_batch=args.full_batch_precision)
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -342,7 +408,9 @@ def main(argv=None):
                       "epi_train": args.epi_train,
                       "minibatch": args.minibatch,
                       "solve_bwd_precision": args.solve_bwd_precision,
-                      "gram_fwd_precision": args.gram_fwd_precision},
+                      "gram_fwd_precision": args.gram_fwd_precision,
+                      "full_batch_precision": args.full_batch_precision,
+                      "reused_ref": bool(args.reuse_ref)},
         "reference": ({"var_precision": "highest",
                        "solve_precision": "highest"}
                       if args.reference == "highest" else
@@ -367,7 +435,8 @@ def main(argv=None):
                 f"qvar_pallas_train={args.qvar_pallas_train} "
                 f"epi_pallas={args.epi_pallas} "
                 f"epi_train={args.epi_train} "
-                f"gram_fwd={args.gram_fwd_precision} vs "
+                f"gram_fwd={args.gram_fwd_precision} "
+                f"full_batch={args.full_batch_precision} vs "
                 f"{'all-HIGHEST' if args.reference == 'highest' else 'production defaults'} "
                 f"(minibatch {args.minibatch}), "
                 f"{args.iterations} steps. Tolerance per config = "

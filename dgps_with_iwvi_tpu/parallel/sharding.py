@@ -135,19 +135,28 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
                           jnp.zeros((), jnp.int32))
 
     solve_bwd = resolve_solve_bwd(tc, layer_ids)
+    # full-batch (B >= N) precision escalation, same policy as the
+    # single-device trainer (train.resolve_full_batch). The sharded path
+    # always samples with replacement, but B_global >= num_data is the same
+    # near-zero-gradient-noise regime the B8192 gate characterized.
+    loss_cfg, _fb_ovr = train_mod.resolve_full_batch(
+        config, tc, tc.minibatch_size >= config.num_data)
+    _overrides = {"SOLVE_BWD_PRECISION": solve_bwd, **_fb_ovr}
 
     def loss_fn(natvars, rest, xb, yb, idx, key):
         # same trace-time precision scoping as the single-device trainer
         from ..ops import conditionals as _cond
 
-        prev = _cond.SOLVE_BWD_PRECISION
-        _cond.SOLVE_BWD_PRECISION = solve_bwd
+        prev = {k: getattr(_cond, k) for k in _overrides}
+        for k, v in _overrides.items():
+            setattr(_cond, k, v)
         try:
             params = _merge_params(rest, natvars, layer_ids)
-            return _sharded_objective(params, config, xb, yb, idx, key,
+            return _sharded_objective(params, loss_cfg, xb, yb, idx, key,
                                       n_k, P_total)
         finally:
-            _cond.SOLVE_BWD_PRECISION = prev
+            for k, v in prev.items():
+                setattr(_cond, k, v)
 
     def local_grads(natvars, rest, Xl, Yl, key):
         """Runs per device inside shard_map; returns psum'd loss + grads."""

@@ -69,6 +69,16 @@ class TrainConfig:
     # relaxes exactly when natgrad layers exist AND minibatch <= 512;
     # everything else stays exact. 'same'/'high'/'default' force.
     solve_bwd_precision: str = "auto"
+    # FULL-BATCH (B >= N) precision auto-escalation. With zero minibatch
+    # noise the production relaxations converge to a measurably lower
+    # bound (benchmarks/QUALITY_GATE_B8192.md: up to 1.5e-2 rel on
+    # LGG-kin8nm; test NLL unaffected) — the gradient noise that masks
+    # single-pass-bf16 bias in the minibatch regime is gone, the same
+    # failure class as the B=2048 solve_bwd collapse. 'auto' (default)
+    # escalates the TRAINING-step precision set exactly when the trainer
+    # takes the full-batch path (see resolve_full_batch for the
+    # gate-derived set); 'off' keeps the configured knobs unchanged.
+    full_batch_precision: str = "auto"
 
 
 # ONE row gather over the concatenated [N, Dx+Dy] table per minibatch draw
@@ -76,6 +86,47 @@ class TrainConfig:
 # bound (docs/ROOFLINE_B8192.md minibatch row), so halving the count is the
 # only lever. Module switch for A/B (benchmarks/gather_ab.py).
 FUSED_GATHER = True
+
+
+_PREC_ORDER = {"default": 0, "high": 1, "highest": 2}
+
+# The gate-derived full-batch escalation set (resolve_full_batch): the
+# all-HIGHEST class. Cheaper sets were MEASURED INSUFFICIENT on the deep
+# LGG-kin8nm config (15k-step full-batch gate at B=8192 >= N=7372 vs
+# all-HIGHEST, benchmarks/QUALITY_GATE_B8192 history, r5 2x2 sweep —
+# residual bound deficit rel:
+#   var=default solve=high : 1.45e-2   var=high    solve=high   : 1.36e-2
+#   var=highest solve=high : 8.18e-3   var=high    solve=highest: 3.29e-3
+# tolerance 1e-3). BOTH forward knobs contribute; with zero minibatch
+# noise nothing below exact-class converges to the reference bound, so the
+# escalation takes the whole set to the gate reference's settings — the
+# escalated full-batch trajectory is then the all-HIGHEST trajectory by
+# construction. Cost: full-batch steps are bound-study steps; exactness
+# outranks rate there (docs/PERF.md "FULL-BATCH envelope").
+FULL_BATCH_MIN_VAR = "highest"
+FULL_BATCH_MIN_SOLVE = "highest"
+FULL_BATCH_OVERRIDES = {
+    "SOLVE_BWD_PRECISION": "same",
+    "QVAR_BF16_RESIDUAL": False,
+    "QVAR_PALLAS_TRAIN": "off",
+    "EPI_TRAIN": "off",
+}
+
+
+def resolve_full_batch(config, tc: "TrainConfig", full_batch: bool):
+    """Full-batch (B >= N) precision escalation: returns the (possibly
+    escalated) DGPConfig and a dict of ops.conditionals module-switch
+    overrides to apply around the loss trace. Identity when the regime is
+    minibatched or TrainConfig.full_batch_precision == 'off'. Shared by the
+    single-device and sharded trainers."""
+    if not full_batch or tc.full_batch_precision == "off":
+        return config, {}
+    cfg = config
+    if _PREC_ORDER[cfg.var_precision] < _PREC_ORDER[FULL_BATCH_MIN_VAR]:
+        cfg = dataclasses.replace(cfg, var_precision=FULL_BATCH_MIN_VAR)
+    if _PREC_ORDER[cfg.solve_precision] < _PREC_ORDER[FULL_BATCH_MIN_SOLVE]:
+        cfg = dataclasses.replace(cfg, solve_precision=FULL_BATCH_MIN_SOLVE)
+    return cfg, dict(FULL_BATCH_OVERRIDES)
 
 
 def resolve_solve_bwd(tc: "TrainConfig", layer_ids) -> str:
@@ -136,19 +187,29 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
     adam = optax.adam(tc.lr)
     solve_bwd = resolve_solve_bwd(tc, layer_ids)
 
-    def loss_fn(natvars, rest, xb, yb, idx, key):
-        # trace-time scope: the module switch is read where the solve-path
-        # matmuls trace (ops/conditionals.py), so setting it around the
-        # loss body pins this trainer's policy without leaking globally
-        from ..ops import conditionals as _cond
+    def make_loss(cfg, overrides):
+        # trace-time scope: the module switches are read where the
+        # conditional's matmuls trace (ops/conditionals.py), so setting
+        # them around the loss body pins this trainer's policy without
+        # leaking globally
+        def loss_fn(natvars, rest, xb, yb, idx, key):
+            from ..ops import conditionals as _cond
 
-        prev = _cond.SOLVE_BWD_PRECISION
-        _cond.SOLVE_BWD_PRECISION = solve_bwd
-        try:
-            params = _merge_params(rest, natvars, layer_ids)
-            return -dgp.elbo(params, config, xb, yb, key, data_idx=idx)
-        finally:
-            _cond.SOLVE_BWD_PRECISION = prev
+            prev = {k: getattr(_cond, k) for k in overrides}
+            for k, v in overrides.items():
+                setattr(_cond, k, v)
+            try:
+                params = _merge_params(rest, natvars, layer_ids)
+                return -dgp.elbo(params, cfg, xb, yb, key, data_idx=idx)
+            finally:
+                for k, v in prev.items():
+                    setattr(_cond, k, v)
+        return loss_fn
+
+    loss_minibatch = make_loss(config, {"SOLVE_BWD_PRECISION": solve_bwd})
+    _cfg_fb, _ovr_fb = resolve_full_batch(config, tc, True)
+    loss_full_batch = make_loss(
+        _cfg_fb, {"SOLVE_BWD_PRECISION": solve_bwd, **_ovr_fb})
 
     def init_fn(params) -> TrainState:
         natvars, rest = _split_params(params, layer_ids)
@@ -172,6 +233,10 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
     def step_fn(state: TrainState, X, Y, key):
         kb1, kb2, ke1, ke2 = jax.random.split(key, 4)
         gamma = gamma_schedule(tc, state.step)
+        # the full-batch switch is a TRACE-TIME shape property — pick the
+        # matching precision policy here so it tracks _minibatch exactly
+        loss_fn = (loss_full_batch if tc.minibatch_size >= X.shape[0]
+                   else loss_minibatch)
         xb, yb, idx = _minibatch(X, Y, kb1)
         if layer_ids and tc.schedule == "alternating":
             # reference schedule: natgrad on batch 1, Adam on batch 2
