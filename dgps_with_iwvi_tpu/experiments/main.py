@@ -83,6 +83,17 @@ def parse_args(argv=None):
                         "real-valued single-task")
     p.add_argument("--num_classes", type=int, default=3,
                    help="multiclass/ordinal: number of classes C")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="compute/parameter dtype for the WHOLE stack "
+                        "(data, params, training, eval). 'float64' is the "
+                        "reference's gpflow default and the escape hatch "
+                        "for bound-comparison studies where even the "
+                        "escalated-f32 policy is in question — pair it "
+                        "with JAX_PLATFORMS=cpu (TPU MXUs have no native "
+                        "f64; XLA:TPU emulation is orders slower). All "
+                        "precision knobs below are f32-path no-ops under "
+                        "float64: every dot is exact at width")
     p.add_argument("--pallas", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused Pallas conditional kernels (auto: currently "
@@ -193,8 +204,12 @@ def run(args) -> dict:
         print(f"[data] {args.dataset}: no pre-staged file found -> "
               f"deterministic synthetic surrogate (N={data.N}, D={data.D})")
 
-    X = jnp.asarray(data.X_train)
-    Y = jnp.asarray(data.Y_train)
+    if args.dtype == "float64" and not jax.config.jax_enable_x64:
+        # before any trace; harmless if the process already enabled it
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.dtype(args.dtype)
+    X = jnp.asarray(data.X_train, dtype)
+    Y = jnp.asarray(data.Y_train, dtype)
     build = BuildArgs(
         configuration=args.configuration, mode=args.mode.upper(),
         num_inducing=args.M, num_iw_samples=args.K,
@@ -282,7 +297,8 @@ def run(args) -> dict:
     train_time = time.time() - t0
 
     metrics = evaluate(
-        trained, config, data.X_test, data.Y_test, ke,
+        trained, config, jnp.asarray(data.X_test, dtype),
+        jnp.asarray(data.Y_test, dtype), ke,
         y_std=data.Y_std, num_samples=args.num_predict_samples,
         likelihood=args.likelihood, mesh=mesh)
     nb = min(args.minibatch_size, X.shape[0])
@@ -327,7 +343,7 @@ def run(args) -> dict:
         "elbo": final_elbo, "steps_per_sec": steps_per_sec,
         "flops_per_step": flops_per_step,
         "mfu": mfu, "mfu_adjusted": mfu_adj,
-        "synthetic_data": data.synthetic,
+        "synthetic_data": data.synthetic, "dtype": args.dtype,
         "backend": jax.default_backend(), "train_time_s": train_time,
     }
     Database(args.results_db).write_result(row)
