@@ -241,8 +241,9 @@ def main():
                     "(predict_y_and_log_density, 24 calls in flight, fused "
                     "Pallas q-variance); delivered_points_per_sec = "
                     "end-to-end through the frozen StableHLO artifact, "
-                    "host table in / all results fetched — transfer-bound "
-                    "on the tunneled dev chip (docs/PERF.md)",
+                    "host table in / all results fetched, f32 transport — "
+                    "transfer-bound on the tunneled dev chip; opt-in bf16 "
+                    "transport measured +33% (benchmarks/TRANSPORT_AB.md)",
         },
     }
     print(json.dumps(out))

@@ -88,6 +88,24 @@ def parse_args(argv=None):
                         "compile per distinct size at load time)")
     p.add_argument("--depth", type=int, default=8,
                    help="async calls in flight")
+    p.add_argument("--transport", default="float32",
+                   choices=["float32", "bfloat16", "float16"],
+                   help="dtype the RESULTS cross the device->host link in; "
+                        "compute is untouched (the cast is a device-side "
+                        "epilogue), so the only effect is rounding of the "
+                        "delivered values in exchange for half the D2H "
+                        "bytes on a transfer-bound link (docs/PERF.md). "
+                        "Outputs are float32 on the host either way")
+    p.add_argument("--transport_in", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype the INPUT table crosses the host->device "
+                        "link in (artifact path only). Inputs are upcast "
+                        "to f32 on device, so compute stays f32 — but "
+                        "this rounds the inputs themselves (~3 decimal "
+                        "digits), perturbing the predictions, unlike the "
+                        "output-only --transport. The input side is 36 of "
+                        "the 48 B/row of a scoring round trip "
+                        "(benchmarks/TRANSPORT_AB.md)")
     p.add_argument("--shard", action="store_true",
                    help="shard scoring rows over ALL local devices (params "
                         "replicated, GSPMD-partitioned predictive) — "
@@ -134,7 +152,9 @@ def _run_from_export(args) -> dict:
         data = None
     X_raw, Y_raw = _load_input_raw(args, data)
     t0 = time.perf_counter()
-    out = art.score(X_raw, Y_raw, seed=args.seed, depth=args.depth)
+    out = art.score(X_raw, Y_raw, seed=args.seed, depth=args.depth,
+                    transport=args.transport,
+                    transport_in=args.transport_in)
     dt = time.perf_counter() - t0
     n = X_raw.shape[0]
     np.savez(args.output, num_samples=art.meta["num_samples"], **out)
@@ -257,6 +277,8 @@ def run(args) -> dict:
         params = replicate_for_eval(mesh, params)
         print(f"[serve] sharding rows over {mesh.devices.size} devices")
 
+    transport_dt = jnp.dtype(args.transport)
+
     @jax.jit
     def score(params, xb, yb, k):
         import contextlib
@@ -267,7 +289,9 @@ def run(args) -> dict:
         ctx = qvar_pallas_disabled() if mesh is not None \
             else contextlib.nullcontext()
         with ctx:
-            return predict_y_and_log_density(params, config, xb, yb, k, S)
+            out = predict_y_and_log_density(params, config, xb, yb, k, S)
+        # --transport: results cross D2H narrow; compute above is untouched
+        return jax.tree.map(lambda a: a.astype(transport_dt), out)
 
     def _place(xb, yb):
         if mesh is None:
@@ -306,9 +330,9 @@ def run(args) -> dict:
     means, variances, lds = [], [], []
     for ((start, pad), _), ((m, v), ld) in zip(outs, fetched):
         take = bs - pad
-        means.append(m[:take])
-        variances.append(v[:take])
-        lds.append(ld[:take])
+        means.append(np.asarray(m[:take], np.float32))
+        variances.append(np.asarray(v[:take], np.float32))
+        lds.append(np.asarray(ld[:take], np.float32))
     dt = time.perf_counter() - t0
     mean = np.concatenate(means)
     var = np.concatenate(variances)

@@ -189,9 +189,28 @@ class ServingArtifact:
         # jit the call so batches dispatch asynchronously and the loop can
         # keep --depth calls in flight (same pattern as experiments/serve.py)
         self._fn = jax.jit(exported.call)
+        self._fns = {}  # per-(transport, transport_in)-dtype variants
+
+    def _fn_for(self, transport: str, transport_in: str = "float32"):
+        """The artifact call with the transport dtypes fused in (ONE
+        dispatch: upcast inputs + call + cast results). Compiled once per
+        dtype pair, cached."""
+        key = (transport, transport_in)
+        if key == ("float32", "float32"):
+            return self._fn
+        if key not in self._fns:
+            dt = jnp.dtype(transport)
+            call = self.exported.call
+            self._fns[key] = jax.jit(
+                lambda xb, yb, s: jax.tree.map(
+                    lambda a: a.astype(dt),
+                    call(xb.astype(jnp.float32), yb.astype(jnp.float32),
+                         s)))
+        return self._fns[key]
 
     def score(self, X, Y=None, *, seed: int = 0, depth: int = 8,
-              max_batch: int = 8192) -> dict:
+              max_batch: int = 8192, transport: str = "float32",
+              transport_in: str = "float32") -> dict:
         """Score an arbitrary-length table.
 
         Fixed-batch artifacts run fixed-size padded batches (short tails
@@ -202,6 +221,25 @@ class ServingArtifact:
 
         X: [n, d_in]; Y: [n, d_out] or None (log_density omitted). Units are
         raw when the artifact was exported with stats, else caller units.
+
+        ``transport``: dtype the RESULTS cross the device->host link in
+        ('float32' | 'bfloat16' | 'float16'). Compute inside the artifact
+        is untouched — the cast happens on device after the scorer, so the
+        only effect is rounding of the DELIVERED values (bf16: ~3 decimal
+        digits, full f32 range; f16: ~3.3 digits, range +-65504 — mind raw
+        y units) in exchange for half the D2H bytes; outputs are converted
+        back to float32 on the host.
+
+        ``transport_in``: dtype the INPUT table crosses the host->device
+        link in ('float32' | 'bfloat16'). Inputs are upcast to float32 ON
+        DEVICE before the scorer, so compute stays f32 — but unlike
+        ``transport`` this rounds the inputs themselves (~3 decimal
+        digits), which perturbs the computed predictions, not just their
+        delivered encoding. Measured on the bench model (S=100 mixture):
+        log-density shift far below the estimator's own seed noise
+        (benchmarks/TRANSPORT_AB.md). Off by default; turn on when the
+        link, not the chip, is the bound — the input side is 36 of the
+        48 bytes/row of a full scoring round trip.
         """
         poly = self.meta.get("polymorphic_batch", False)
         bs = max_batch if poly else self.meta["batch_size"]
@@ -217,6 +255,8 @@ class ServingArtifact:
         if Ys.shape != (n, d_out):
             raise ValueError(f"Y must be [{n}, {d_out}] to match X and the "
                              f"artifact's d_out, got {Ys.shape}")
+        in_dt = jnp.dtype(transport_in)  # ml_dtypes: numpy can astype to it
+
         def _prep(start):
             xb, yb = X[start:start + bs], Ys[start:start + bs]
             pad = 0 if poly else bs - xb.shape[0]
@@ -225,6 +265,8 @@ class ServingArtifact:
                                                   xb.dtype)])
                 yb = np.concatenate([yb, np.zeros((pad, yb.shape[1]),
                                                   yb.dtype)])
+            if in_dt != np.float32:  # narrow the H2D bytes (transport_in)
+                xb, yb = xb.astype(in_dt), yb.astype(in_dt)
             # Stage the upload `depth` batches ahead of its dispatch so
             # H2D overlaps compute on hosts with real DMA engines. On the
             # axon dev tunnel this is measured NEUTRAL — the tunnel
@@ -238,6 +280,7 @@ class ServingArtifact:
             # serving hosts, where H2D/D2H run at GB/s and overlap.
             return pad, jax.device_put(xb), jax.device_put(yb)
 
+        fn = self._fn_for(transport, transport_in)
         starts = list(range(0, n, bs))
         staged = [_prep(s) for s in starts[:depth]]
         outs = []
@@ -246,7 +289,7 @@ class ServingArtifact:
             staged[i] = None  # free the reference once dispatched
             if i + depth < len(starts):
                 staged.append(_prep(starts[i + depth]))
-            outs.append((pad, self._fn(xb_d, yb_d, np.int32(seed + i))))
+            outs.append((pad, fn(xb_d, yb_d, np.int32(seed + i))))
             if len(outs) >= depth:  # bound in-flight work
                 jax.block_until_ready(outs[-depth][1][0])
         # fetch ALL results in one device_get: per-array np.asarray costs a
@@ -257,9 +300,10 @@ class ServingArtifact:
         means, variances, lds = [], [], []
         for (pad, _), (m, v, ld) in zip(outs, fetched):
             take = bs - pad
-            means.append(m[:take])
-            variances.append(v[:take])
-            lds.append(ld[:take])
+            # hosts speak float32: narrow transport dtypes convert here
+            means.append(np.asarray(m[:take], np.float32))
+            variances.append(np.asarray(v[:take], np.float32))
+            lds.append(np.asarray(ld[:take], np.float32))
         out = {"mean": np.concatenate(means),
                "var": np.concatenate(variances)}
         if have_y:

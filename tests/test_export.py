@@ -197,6 +197,62 @@ class TestPaddedScoring:
                 out["log_density"][start:start + take],
                 np.asarray(ld)[:take])
 
+    @pytest.mark.parametrize("transport", ["bfloat16", "float16"])
+    def test_narrow_transport_is_rounding_only(self, tiny_model, tmp_path,
+                                               transport):
+        """transport='bfloat16'/'float16' must be pure output rounding:
+        f32 on the host, shapes unchanged, values within one narrow-float
+        ulp of the f32-transported run — and the log-density perturbation
+        far below the S-sample mixture-estimator's own seed noise."""
+        config, params, X, Y = tiny_model
+        B, S, n = 16, 4, 40
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, exp, num_samples=S, has_stats=False)
+        art = load_scorer(path)
+        ref = art.score(X[:n], Y[:n], seed=11, depth=2)
+        out = art.score(X[:n], Y[:n], seed=11, depth=2, transport=transport)
+        eps = 2.0 ** (-8 if transport == "bfloat16" else -11)
+        for k in ("mean", "var", "log_density"):
+            assert out[k].dtype == np.float32
+            assert out[k].shape == ref[k].shape
+            # one narrow-float ulp: the cast is the ONLY difference (the
+            # whole-model noise comparison lives in benchmarks/SERVING.md,
+            # measured on the real bench model at S=100)
+            np.testing.assert_allclose(out[k], ref[k], rtol=eps,
+                                       atol=eps * np.abs(ref[k]).max())
+        assert not np.array_equal(out["log_density"], ref["log_density"]), \
+            "transport cast had no effect — not exercised?"
+
+    def test_transport_in_is_input_rounding_only(self, tiny_model, tmp_path):
+        """transport_in='bfloat16' rounds the INPUTS (H2D bytes halve) but
+        computes in f32: outputs must be f32, close to the f32-input run
+        at the bf16 input-rounding scale, and EXACTLY reproducible by
+        feeding the pre-rounded inputs through the f32 path."""
+        config, params, X, Y = tiny_model
+        B, S, n = 16, 4, 40
+        exp = export_scorer(params, config, batch_size=B, d_in=3, d_out=1,
+                            num_samples=S)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, exp, num_samples=S, has_stats=False)
+        art = load_scorer(path)
+        ref = art.score(X[:n], Y[:n], seed=7, depth=2)
+        out = art.score(X[:n], Y[:n], seed=7, depth=2,
+                        transport_in="bfloat16")
+        import jax.numpy as jnp
+        Xr = np.asarray(jnp.asarray(X[:n], jnp.bfloat16), np.float32)
+        Yr = np.asarray(jnp.asarray(Y[:n], jnp.bfloat16), np.float32)
+        rounded = art.score(Xr, Yr, seed=7, depth=2)
+        for k in ("mean", "var", "log_density"):
+            assert out[k].dtype == np.float32
+            # identical to the f32 path on pre-rounded inputs: the upcast
+            # on device is exact, so input rounding is the ONLY difference
+            np.testing.assert_array_equal(out[k], rounded[k])
+        # mean is identically zero on this init — var depends on X
+        assert not np.array_equal(out["var"], ref["var"]), \
+            "input cast had no effect — not exercised?"
+
     def test_score_without_targets_omits_log_density(self, tiny_model):
         config, params, X, Y = tiny_model
         exp = export_scorer(params, config, batch_size=8, d_in=3, d_out=1,
