@@ -85,7 +85,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
                 solve_bwd="same", gram_fwd="highest", mesh=None,
                 qvar_train="off", minibatch=512, epi="auto",
-                epi_train="auto", full_batch="auto"):
+                epi_train="auto", full_batch="auto", gram_kres="auto"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
     from dgps_with_iwvi_tpu.ops import kernels as _kern
 
@@ -94,6 +94,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
     _cond.EPI_PALLAS = epi  # trace-time module switch
     _cond.EPI_TRAIN = epi_train  # trace-time module switch
     _kern.GRAM_FWD_PRECISION = gram_fwd  # trace-time module switch
+    _kern.GRAM_KUF_RESIDUAL = gram_kres  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
     key = jax.random.PRNGKey(seed)
@@ -261,6 +262,14 @@ def main(argv=None):
                         "dot (kernels.GRAM_FWD_PRECISION); 'high' = bf16x3, "
                         "~1.5e-5 max rel gram error vs 4.8e-7 at 'highest'; "
                         "the all-HIGHEST reference always runs 'highest'")
+    p.add_argument("--gram_kres", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="candidate kernels.GRAM_KUF_RESIDUAL: the RBF "
+                        "gram vjp that keeps the gram OUTPUT as its "
+                        "residual instead of the squared distance (same "
+                        "precision class, different rounding order in "
+                        "dls/dZ/dvar); the all-HIGHEST reference always "
+                        "runs the plain AD path")
     p.add_argument("--full_batch_precision", default="auto",
                    choices=["auto", "off"],
                    help="candidate TrainConfig.full_batch_precision: 'auto' "
@@ -340,7 +349,7 @@ def main(argv=None):
                           qvar_bf16="auto")
         else:
             ref_kw = dict(var_precision="highest", solve_precision="highest",
-                          qvar_bf16=False)
+                          qvar_bf16=False, gram_kres="off")
         if reuse is not None and label in reuse:
             pr = reuse[label]
             ref = {"elbo_per_point": pr["elbo_ref"],
@@ -371,7 +380,9 @@ def main(argv=None):
                            qvar_train=args.qvar_pallas_train,
                            minibatch=args.minibatch,
                            epi=args.epi_pallas, epi_train=args.epi_train,
-                           full_batch=args.full_batch_precision)
+                           full_batch=args.full_batch_precision,
+                           gram_kres={"auto": "auto", "on": True,
+                                      "off": False}[args.gram_kres])
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -410,6 +421,7 @@ def main(argv=None):
                       "solve_bwd_precision": args.solve_bwd_precision,
                       "gram_fwd_precision": args.gram_fwd_precision,
                       "full_batch_precision": args.full_batch_precision,
+                      "gram_kres": args.gram_kres,
                       "reused_ref": bool(args.reuse_ref)},
         "reference": ({"var_precision": "highest",
                        "solve_precision": "highest"}
@@ -436,6 +448,7 @@ def main(argv=None):
                 f"epi_pallas={args.epi_pallas} "
                 f"epi_train={args.epi_train} "
                 f"gram_fwd={args.gram_fwd_precision} "
+                f"gram_kres={args.gram_kres} "
                 f"full_batch={args.full_batch_precision} vs "
                 f"{'all-HIGHEST' if args.reference == 'highest' else 'production defaults'} "
                 f"(minibatch {args.minibatch}), "

@@ -109,6 +109,99 @@ def scaled_squared_distance(X: jax.Array, X2: jax.Array,
     return jnp.maximum(d2, 0.0)
 
 
+# Residual choice for the RBF cross-gram's backward. Plain AD keeps the
+# [N, M] SQUARED-DISTANCE tensor d2 live from forward to backward (exp's
+# vjp also keeps the exp output, but that IS Kuf — the solve's operand,
+# materialized anyway). At the B=8192 training shape the d2 residual is
+# 84 MB/layer and XLA's memory-space assignment parks it in alternate
+# memory, evicts it (a measured 124 us HBM copy) and re-prefetches it in
+# four async slices (~100 us more) — the "copy-done"/"slice-done" rows of
+# docs/ROOFLINE_B8192.md. The custom vjp below derives every gradient
+# from Kuf itself (dd2 = -0.5 * g * K, masked where the d2 <= 0 clamp
+# bound), so d2 is never saved: the residual set is (Xs, X2s, K) and K is
+# shared with the solve path's operand. "auto" uses it exactly when the
+# gram is large enough for the residual traffic to matter; True/False
+# force it for A/B (benchmarks/gram_kres_ab.py). Measured v5e step times
+# (gram_kres_ab.py, spc=200, idle host, forced on at every shape):
+#   flagship B=512:  +6.1%  (0.502 -> 0.474 ms)
+#   B=8192:          +1.5%  (4.715 -> 4.643 ms)
+#   year LGGG K=50:  +3.5%  (2.481 -> 2.399 ms)
+# The 4 MB floor admits every layer-gram in those configs (flagship
+# 5.2 MB/layer) while keeping the M x M Kuu grams — whose gradients feed
+# the natgrad closed form most directly — on the unchanged AD path.
+GRAM_KUF_RESIDUAL: bool | str = "auto"
+GRAM_KRES_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _use_kuf_residual(X, X2) -> bool:
+    if GRAM_KUF_RESIDUAL != "auto":
+        return bool(GRAM_KUF_RESIDUAL)
+    n_out = 1
+    for s in (*X.shape[:-1], X2.shape[-2]):
+        n_out *= s
+    for s in X2.shape[:-2]:
+        n_out *= s
+    return (X.dtype == jnp.float32
+            and n_out * 4 >= GRAM_KRES_MIN_BYTES)
+
+
+def _sum_to_shape(g, shape):
+    """Sum g over broadcasted leading axes so it matches shape."""
+    extra = g.ndim - len(shape)
+    if extra > 0:
+        g = jnp.sum(g, axis=tuple(range(extra)))
+    axes = tuple(i for i, (gs, s) in enumerate(zip(g.shape, shape))
+                 if s == 1 and gs != 1)
+    if axes:
+        g = jnp.sum(g, axis=axes, keepdims=True)
+    return g
+
+
+@jax.custom_vjp
+def _rbf_gram_kres(Xs: jax.Array, X2s: jax.Array,
+                   var: jax.Array) -> jax.Array:
+    """var * exp(-0.5 ||xs - x2s||^2) whose vjp residual is the OUTPUT.
+
+    Forward is bit-identical to the plain path (same hp cross dot, same
+    expansion and clamp). Backward: dd2 = -0.5 * g * K, zeroed where the
+    max(d2, 0) clamp bound — recovered as K >= var, exact wherever f32
+    exp is (see module comment). The cotangent dots run at the same
+    precision class the split-precision AD path uses (GRAM_BWD_RELAX)."""
+    hp = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
+    xx = jnp.sum(jnp.square(Xs), axis=-1)                  # [..., N]
+    yy = jnp.sum(jnp.square(X2s), axis=-1)                 # [..., M]
+    cross = jnp.matmul(Xs, jnp.swapaxes(X2s, -1, -2), precision=hp)
+    d2 = xx[..., :, None] - 2.0 * cross + yy[..., None, :]
+    return var * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+
+
+def _rbf_gram_kres_fwd(Xs, X2s, var):
+    out = _rbf_gram_kres(Xs, X2s, var)
+    return out, (Xs, X2s, var, out)
+
+
+def _rbf_gram_kres_bwd(res, g):
+    Xs, X2s, var, K = res
+    hp = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH}[GRAM_FWD_PRECISION]
+    bp = jax.lax.Precision.DEFAULT if GRAM_BWD_RELAX else hp
+    dvar = jnp.sum(g * K) / var
+    # d2 <= 0 (the clamp region) <=> K >= var: exp(-0.5 d2c) == 1 exactly
+    # there; gradient is zero through max() just as in the AD path
+    dd2 = jnp.where(K < var, -0.5 * g * K, 0.0)            # [..., N, M]
+    dcross = -2.0 * dd2
+    dXs = jnp.matmul(dcross, X2s, precision=bp)            # [..., N, D]
+    dX2s = jnp.matmul(jnp.swapaxes(dcross, -1, -2), Xs, precision=bp)
+    dXs = dXs + 2.0 * Xs * jnp.sum(dd2, axis=-1)[..., None]
+    dX2s = dX2s + 2.0 * X2s * jnp.sum(dd2, axis=-2)[..., None]
+    return (_sum_to_shape(dXs, Xs.shape), _sum_to_shape(dX2s, X2s.shape),
+            jnp.reshape(dvar, var.shape))
+
+
+_rbf_gram_kres.defvjp(_rbf_gram_kres_fwd, _rbf_gram_kres_bwd)
+
+
 def _matern_from_r(r: jax.Array, order: int) -> jax.Array:
     if order == 1:  # Matern 1/2 (exponential)
         return jnp.exp(-r)
@@ -429,9 +522,13 @@ def _leaf_K(params, X, X2, token: str, x_equals_x2: bool) -> jax.Array:
             u = jnp.sum(X / ls, axis=-1)
             u2 = jnp.sum(X2 / ls, axis=-1)
             return var * jnp.cos(u[..., :, None] - u2[..., None, :])
-        d2 = scaled_squared_distance(X, X2, ls)
         if kind == "rbf":
-            return var * jnp.exp(-0.5 * d2)
+            if _use_kuf_residual(X, X2):
+                dt = jnp.result_type(X.dtype, X2.dtype, var.dtype)
+                return _rbf_gram_kres((X / ls).astype(dt),
+                                      (X2 / ls).astype(dt), var.astype(dt))
+            return var * jnp.exp(-0.5 * scaled_squared_distance(X, X2, ls))
+        d2 = scaled_squared_distance(X, X2, ls)
         if kind == "rq":
             alpha = positive(params["raw_alpha"])
             return var * (1.0 + d2 / (2.0 * alpha)) ** (-alpha)

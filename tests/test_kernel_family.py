@@ -424,3 +424,65 @@ def test_exponential_alias_is_matern12():
     np.testing.assert_allclose(
         np.asarray(kernels.Kdiag(p, X, kind="exponential")),
         np.asarray(kernels.Kdiag(p2, X, kind="matern12")), rtol=1e-6)
+
+
+class TestGramKufResidual:
+    """GRAM_KUF_RESIDUAL: the RBF gram whose vjp residual is the gram
+    OUTPUT (shared with the solve operand) instead of the squared
+    distance — byte-for-byte forward parity and gradient agreement with
+    the plain AD path (ops/kernels.py _rbf_gram_kres)."""
+
+    def _loss(self, p, Z, Xb):
+        K = kernels.K(p, Z, Xb, kind="rbf")
+        return jnp.sum(jnp.sin(0.1 * K) * K)
+
+    def test_forward_bitexact_and_grads_match(self):
+        Xb = jnp.asarray(RNG.randn(3, 20, D))
+        Z = jnp.asarray(RNG.randn(M, D))
+        p = kernels.rbf_params(D, variance=1.7, lengthscales=0.8)
+        saved = kernels.GRAM_KUF_RESIDUAL
+        try:
+            kernels.GRAM_KUF_RESIDUAL = False
+            K0 = kernels.K(p, Z, Xb, kind="rbf")
+            v0, g0 = jax.value_and_grad(self._loss, argnums=(0, 1, 2))(
+                p, Z, Xb)
+            kernels.GRAM_KUF_RESIDUAL = True
+            K1 = kernels.K(p, Z, Xb, kind="rbf")
+            v1, g1 = jax.value_and_grad(self._loss, argnums=(0, 1, 2))(
+                p, Z, Xb)
+        finally:
+            kernels.GRAM_KUF_RESIDUAL = saved
+        np.testing.assert_array_equal(np.asarray(K0), np.asarray(K1))
+        assert float(v0) == float(v1)
+        for a, b in [(g0[0]["raw_variance"], g1[0]["raw_variance"]),
+                     (g0[0]["raw_lengthscales"], g1[0]["raw_lengthscales"]),
+                     (g0[1], g1[1]), (g0[2], g1[2])]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
+    def test_clamp_edge_point_on_inducing_location(self):
+        """A data row EXACTLY on an inducing point exercises the
+        max(d2, 0) clamp; the K >= var proxy mask must reproduce the AD
+        path's zero-gradient behavior there (no NaN, tiny diff)."""
+        Z = jnp.asarray(RNG.randn(M, D))
+        Xb = jnp.asarray(RNG.randn(10, D)).at[0].set(Z[3])
+        p = kernels.rbf_params(D)
+        saved = kernels.GRAM_KUF_RESIDUAL
+        try:
+            kernels.GRAM_KUF_RESIDUAL = False
+            ga = jax.grad(self._loss, argnums=2)(p, Z, Xb)
+            kernels.GRAM_KUF_RESIDUAL = True
+            gb = jax.grad(self._loss, argnums=2)(p, Z, Xb)
+        finally:
+            kernels.GRAM_KUF_RESIDUAL = saved
+        assert np.all(np.isfinite(np.asarray(gb)))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6)
+
+    def test_auto_threshold_counts_lead_dims(self):
+        """auto fires on total gram bytes including broadcast lead dims."""
+        Z = jnp.zeros((128, 4), jnp.float32)
+        big = jnp.zeros((20, 8192, 4), jnp.float32)  # 84 MB gram
+        small = jnp.zeros((20, 64, 4), jnp.float32)
+        assert kernels._use_kuf_residual(Z, big)
+        assert not kernels._use_kuf_residual(Z, small)
