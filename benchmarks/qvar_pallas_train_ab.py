@@ -52,7 +52,13 @@ VARIANTS = {
     "xla-bf16res": "off",
     "pallas-auto": "auto",
     "pallas-all-on": "on",
+    # d-grouped deep-M variant (the monolithic kernel is a VMEM compile
+    # blocker at M=512 — AB_VARIANTS=xla-bf16res,pallas-grouped there)
+    "pallas-grouped": "grouped",
 }
+_sel = __import__("os").environ.get(
+    "AB_VARIANTS", "xla-bf16res,pallas-auto,pallas-all-on").split(",")
+VARIANTS = {k: v for k, v in VARIANTS.items() if k in _sel}
 
 
 def main():
@@ -69,6 +75,9 @@ def main():
         fs = {}
         for name, flag in VARIANTS.items():
             conditionals.QVAR_PALLAS_TRAIN = flag
+            # the epilogue-fused kernel has the SAME VMEM blowup at deep
+            # M — keep the comparison to the pure q-variance kernels
+            conditionals.EPI_TRAIN = "off" if flag == "grouped" else "auto"
             init_fn, _, chunk_fn, _ = make_trainer(config, tc)
             f, s = jax.jit(chunk_fn), init_fn(params)
             for w in range(2):
@@ -87,6 +96,7 @@ def main():
             print(f"{label:8s} {name:13s}: {ms:.3f} ms/step = "
                   f"{1e3 / ms:.0f} steps/s", flush=True)
         conditionals.QVAR_PALLAS_TRAIN = "auto"
+        conditionals.EPI_TRAIN = "auto"
 
 
 if __name__ == "__main__":

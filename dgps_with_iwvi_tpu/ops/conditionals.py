@@ -271,6 +271,15 @@ def _use_qvar_pallas(A: jax.Array, W, vp) -> bool:
             and m % 8 == 0 and n % 128 == 0)
 
 
+def _qvar_train_fn():
+    """Which fused-backward training kernel the dispatch uses: the
+    monolithic qvar_fused_train, or the d-grouped variant that fits the
+    deep-M VMEM budget (QVAR_PALLAS_TRAIN == 'grouped', A/B only)."""
+    from .pallas.qvar import qvar_fused_train, qvar_fused_train_grouped
+    return (qvar_fused_train_grouped if QVAR_PALLAS_TRAIN == "grouped"
+            else qvar_fused_train)
+
+
 def _use_qvar_train_pallas(A: jax.Array, W, vp) -> bool:
     """Gate for the fused-backward training kernel (QVAR_PALLAS_TRAIN).
 
@@ -491,10 +500,9 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
             return jnp.swapaxes(
                 qvar_fused(A, q_S, True, interp), -1, -2)   # [..., N, D]
         if _use_qvar_train_pallas(A, q_S, vp):
-            from .pallas.qvar import qvar_fused_train
             interp = jax.default_backend() == "cpu"
             return jnp.swapaxes(
-                qvar_fused_train(A, q_S, True, interp), -1, -2)
+                _qvar_train_fn()(A, q_S, True, interp), -1, -2)
 
         def _qvar_cov(A, S):
             if _use_bf16_residual(m, A.dtype):
@@ -523,12 +531,11 @@ def _q_variance(A: jax.Array, q_sqrt, q_S, vp) -> jax.Array:
         return jnp.swapaxes(
             qvar_fused(A, Ltri, False, interp), -1, -2)      # [..., N, D]
     if _use_qvar_train_pallas(A, q_sqrt, vp):
-        from .pallas.qvar import qvar_fused_train
         interp = jax.default_backend() == "cpu"
         # tril is a no-op on the stored parameter but masks the dense dW
         # the fused backward produces back onto the triangle
         return jnp.swapaxes(
-            qvar_fused_train(A, jnp.tril(q_sqrt), False, interp), -1, -2)
+            _qvar_train_fn()(A, jnp.tril(q_sqrt), False, interp), -1, -2)
 
     def _qvar_root(A, L):
         if _use_bf16_residual(m, A.dtype):

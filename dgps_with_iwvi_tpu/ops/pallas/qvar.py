@@ -53,7 +53,7 @@ def applicable(A_shape, W: jax.Array, dtype) -> bool:
     d = W.shape[0]
     return (dtype == jnp.float32 and W.dtype == jnp.float32
             and W.ndim == 3 and m == W.shape[-1]
-            and m % 8 == 0 and n % LANE == 0 and n >= 1024
+            and m % 8 == 0 and n % LANE == 0 and n >= 1024 and m <= 256
             and d * m * m * 4 <= _MAX_W_BYTES
             and jax.default_backend() not in ("cpu",))
 
@@ -73,13 +73,23 @@ def applicable_train(A_shape, W: jax.Array, dtype) -> bool:
     Floor d*n >= 12288 splits the measured loss at 8192 from the win at
     15360. (The d=1 final layer is always excluded: measured neutral at
     B=8192 — auto 5.025 vs all-on 5.034 ms.)
+
+    The m <= 256 bound is load-bearing twice over: the monolithic
+    backward's scoped-VMEM footprint (W + dW + tile-sized stack
+    temporaries) is a COMPILE error at m=512 d=8 — which the old
+    d*m*m*4 <= 8 MB test admitted exactly, a latent auto-policy crash,
+    r5 — and the d-grouped variant that does fit (tn=256 tiles,
+    qvar_fused_train_grouped) measured 0.88x vs the XLA path at M=512
+    B=2048 (8.50 -> 9.70 ms/step): the deep-M regime is MXU-bound and
+    the recompute dot only adds passes, consistent with bf16-residual
+    (-9%) and remat (0.89x) there.
     """
     m, n = A_shape[-2], A_shape[-1]
     d = W.shape[0]
     return (dtype == jnp.float32 and W.dtype == jnp.float32
             and W.ndim == 3 and m == W.shape[-1]
             and m % 8 == 0 and n % LANE == 0 and d * n >= 12288
-            and d * m * m * 4 <= _MAX_W_BYTES
+            and m <= 256 and d * m * m * 4 <= _MAX_W_BYTES
             and jax.default_backend() not in ("cpu",))
 
 
@@ -89,11 +99,23 @@ def _qvar_kernel(a_ref, w_ref, out_ref, *, d_out: int, cov: bool):
     _qvar_loop(a32, a32.astype(jnp.bfloat16), w_ref, out_ref, d_out, cov)
 
 
-def _pick_tile(n: int) -> int:
+def _pick_tile(n: int, m: int = 128) -> int:
     # prefer big tiles: per-grid-step overhead dominates at small tiles
     # (measured 0.74x vs XLA at 100 programs x [128, 128] tiles); A-tile +
-    # inner-product tile stay comfortably in VMEM up to tn=2048 at M=128
+    # inner-product tile stay comfortably in VMEM up to tn=2048 at M=128.
+    # Deep-M cap: the scoped-VMEM cost of a grid step is dominated by the
+    # [m, tn]-sized KERNEL STACK temporaries (da accumulator, t, dt, the
+    # bf16 copy of a — ~6-8 tile-sized buffers) plus the double-buffered
+    # A/dA blocks; at m=512 a tn=1024 backward still spilled 21 MB
+    # against the 16 MB limit (measured compile error, r5). m <= 256
+    # keeps the measured-optimal 2 MB tile cap (tn=2048 at m=128);
+    # deeper M drops to 0.5 MB tiles (tn=256 at m=512) — the price the
+    # d-grouped deep-M variant pays to compile at all.
+    cap = (2 if m <= 256 else 0.5) * 1024 * 1024
     for tn in (2048, 1024, 512, 256, 128):
+        if n % tn == 0 and m * tn * 4 <= cap:
+            return tn
+    for tn in (2048, 1024, 512, 256, 128):  # m > 4096 rows: best effort
         if n % tn == 0:
             return tn
     raise ValueError(f"n={n} not a lane multiple")
@@ -114,7 +136,7 @@ def qvar_fused(A: jax.Array, W: jax.Array, cov: bool = False,
     for s in lead:
         L *= s
     Ab = A.reshape((L, m, n))
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, m)
     kernel = functools.partial(_qvar_kernel, d_out=d, cov=cov)
     out = pl.pallas_call(
         kernel,
@@ -247,7 +269,7 @@ def qvar_bwd_fused(A: jax.Array, W: jax.Array, g: jax.Array,
         L *= s
     Ab = A.reshape((L, m, n))
     gb = g.reshape((L, d, n))
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, m)
     kernel = functools.partial(_qvar_bwd_kernel, d_out=d, cov=cov)
     dA, dW = pl.pallas_call(
         kernel,
@@ -299,6 +321,33 @@ def _qvar_train_bwd(cov, interpret, res, g):
 
 
 qvar_fused_train.defvjp(_qvar_train_fwd, _qvar_train_bwd)
+
+
+def qvar_fused_train_grouped(A: jax.Array, W: jax.Array, cov: bool = False,
+                             interpret: bool = False) -> jax.Array:
+    """qvar_fused_train split over d-groups — the deep-M (M=512) variant.
+
+    The monolithic backward kernel's VMEM blocks (W stack + dW
+    accumulator + A/dA tiles) exceed the 16 MB Mosaic scoped limit at
+    M=512 d=8 (a measured compile blocker, docs/PERF.md ledger). Calling
+    the SAME kernels per d-slice keeps every block under budget: W/dW
+    shrink to dg slices while A is re-read (and a dA contribution
+    re-written) once per group — the d-split trade the r4 ledger left
+    unmeasured. Group size is the largest dg whose backward blocks fit
+    a ~14 MB budget at this shape's tile; the concat's vjp splits the
+    cotangent per group and AD sums the dA contributions."""
+    m, n = A.shape[-2], A.shape[-1]
+    tn = _pick_tile(n, m)
+    # streamed A + dA tiles are DOUBLE-buffered by Mosaic (4 tile copies);
+    # the W slice and dW accumulator have constant index maps (1 copy each)
+    budget = 13 * 1024 * 1024 - 4 * m * tn * 4
+    dg = max(1, budget // (2 * m * m * 4))
+    d = W.shape[0]
+    if dg >= d:
+        return qvar_fused_train(A, W, cov, interpret)
+    outs = [qvar_fused_train(A, W[i:i + dg], cov, interpret)
+            for i in range(0, d, dg)]
+    return jnp.concatenate(outs, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +453,7 @@ def _epi_call(A, W, q_mu, cov: bool, interpret: bool):
     for s in lead:
         L *= s
     Ab = A.reshape((L, m, n))
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, m)
     with_mean = q_mu is not None
     a_spec = pl.BlockSpec((1, m, tn), lambda l, t: (l, 0, t),
                           memory_space=pltpu.VMEM)
@@ -568,7 +617,7 @@ def epi_bwd_fused(A, W, q_mu, g_qv, g_ss, g_mn, cov: bool,
     gqb = g_qv.reshape((L, d, n))
     gsb = g_ss.reshape((L, 1, n))
     gmb = g_mn.reshape((L, d, n))
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, m)
     kernel = functools.partial(_epi_bwd_kernel, d_out=d, cov=cov)
     dA, dW, dqmu = pl.pallas_call(
         kernel,
@@ -677,7 +726,7 @@ def ps_bwd_fused(A, W, g_qv, g_ss, cov: bool, interpret: bool = False):
     Ab = A.reshape((L, m, n))
     gqb = g_qv.reshape((L, d, n))
     gsb = g_ss.reshape((L, 1, n))
-    tn = _pick_tile(n)
+    tn = _pick_tile(n, m)
     kernel = functools.partial(_ps_bwd_kernel, d_out=d, cov=cov)
     dA, dW = pl.pallas_call(
         kernel,

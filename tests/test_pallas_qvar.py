@@ -225,3 +225,48 @@ class TestFusedTrainBackward:
         assert Q.applicable_train((50, 128, 512), W30, f32)       # 15360
         assert not Q.applicable_train((20, 128, 1024), W8, f32)   # 8192
         assert not Q.applicable_train((20, 128, 8192), W1, f32)   # d=1
+
+
+class TestGroupedTrainKernel:
+    """qvar_fused_train_grouped: the d-split deep-M variant. At M=512 the
+    monolithic backward's VMEM blocks exceed the Mosaic scoped limit
+    (docs/PERF.md ledger); the grouped wrapper calls the same kernels per
+    d-slice and must be numerically identical to the monolithic path."""
+
+    def test_grouped_matches_monolithic_forward_and_grads(self):
+        from dgps_with_iwvi_tpu.ops.pallas.qvar import (
+            qvar_fused_train, qvar_fused_train_grouped)
+        rng = np.random.RandomState(0)
+        # m=512 so the 14 MB budget forces real grouping (dg < d)
+        m, d, n = 512, 4, 128
+        A = jnp.asarray(rng.randn(1, m, n).astype(np.float32))
+        W = jnp.asarray(np.tril(rng.randn(d, m, m)).astype(np.float32)
+                        + 2.0 * np.eye(m, dtype=np.float32))
+        out_g = qvar_fused_train_grouped(A, W, False, True)
+        out_m = qvar_fused_train(A, W, False, True)
+        np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_m))
+
+        w = jnp.cos(jnp.arange(float(n), dtype=jnp.float32))
+        gA_g, gW_g = jax.grad(
+            lambda A, W: jnp.sum(qvar_fused_train_grouped(A, W, False, True)
+                                 * w), (0, 1))(A, W)
+        gA_m, gW_m = jax.grad(
+            lambda A, W: jnp.sum(qvar_fused_train(A, W, False, True) * w),
+            (0, 1))(A, W)
+        # per-group kernels see identical tiles; only the dA summation
+        # order differs (f32 adds) — exact in practice at this scale
+        np.testing.assert_allclose(np.asarray(gA_g), np.asarray(gA_m),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gW_g), np.asarray(gW_m),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_small_m_falls_back_to_monolithic(self):
+        from dgps_with_iwvi_tpu.ops.pallas import qvar as Q
+        # at m=128 the budget admits dg >= d: same function object path
+        rng = np.random.RandomState(1)
+        A = jnp.asarray(rng.randn(2, 128, 128).astype(np.float32))
+        W = jnp.asarray(np.tril(rng.randn(8, 128, 128)).astype(np.float32)
+                        + np.eye(128, dtype=np.float32))
+        out_g = Q.qvar_fused_train_grouped(A, W, False, True)
+        out_m = Q.qvar_fused_train(A, W, False, True)
+        np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_m))
