@@ -46,6 +46,11 @@ SHAPES = [
     ("B=512", "LGG", 20, 128, 512, 8, 7372),
     ("B=1024", "LGG", 20, 128, 1024, 8, 20000),
     ("B=2048", "LGG", 20, 128, 2048, 8, 20000),
+    # mid-shapes bracketing EPI_TRAIN_MIN_DN = 32768, which until r5 was
+    # bisected from a 4x gap (d*n = 16384 LOSE / 65536 WIN — VERDICT r4
+    # weak #6): d*n = 24576 and 32768 exactly.
+    ("B=3072", "LGG", 20, 128, 3072, 8, 20000),
+    ("B=4096", "LGG", 20, 128, 4096, 8, 20000),
     ("B=8192", "LGG", 20, 128, 8192, 8, 20000),
     ("year", "LGGG", 50, 128, 512, 90, 20000),
 ]

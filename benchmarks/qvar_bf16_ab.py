@@ -48,6 +48,11 @@ SHAPES = [
     ("throughput", "LGG", 20, 128, 8192, 8, 20000),
     ("year", "LGGG", 50, 128, 512, 90, 20000),
     ("deep-M512", "LGG", 20, 512, 2048, 8, 20000),
+    # mid-M: sits ON the QVAR_BF16_MAX_M / REMAT_QVAR_MAX_M = 256 caps,
+    # which until r5 interpolated the M=128 win and M=512 loss with no
+    # measurement in between (VERDICT r4 weak #6). Same B as deep-M512 so
+    # the M axis is the only change.
+    ("mid-M256", "LGG", 20, 256, 2048, 8, 20000),
 ]
 
 VARIANTS = {

@@ -444,7 +444,11 @@ def _maybe_remat(fn, residual_bytes: int, m: int, dtype):
         # shape where remat used to win) — never recompute on top of it.
         return fn
     if REMAT_QVAR == "auto":
-        do = (residual_bytes > REMAT_QVAR_THRESHOLD_BYTES
+        # residual_bytes is symbolic under polymorphic-batch export (an
+        # inference trace, where the AD-residual choice is moot) — the
+        # size policy is undecidable there, so skip the remat.
+        do = (isinstance(residual_bytes, int)
+              and residual_bytes > REMAT_QVAR_THRESHOLD_BYTES
               and m <= REMAT_QVAR_MAX_M)
     else:
         do = bool(REMAT_QVAR)

@@ -138,8 +138,15 @@ def _use_kuf_residual(X, X2) -> bool:
         return bool(GRAM_KUF_RESIDUAL)
     n_out = 1
     for s in (*X.shape[:-1], X2.shape[-2]):
+        if not isinstance(s, int):
+            # symbolic dim (polymorphic-batch export): the size policy is
+            # undecidable at trace time, and export traces are inference
+            # traces where the AD-residual choice is moot — plain path.
+            return False
         n_out *= s
     for s in X2.shape[:-2]:
+        if not isinstance(s, int):
+            return False
         n_out *= s
     return (X.dtype == jnp.float32
             and n_out * 4 >= GRAM_KRES_MIN_BYTES)

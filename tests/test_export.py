@@ -365,3 +365,35 @@ class TestPolymorphicBatch:
         of = af.score(X[:40], Y[:40], seed=2)
         np.testing.assert_allclose(op["mean"], of["mean"],
                                    rtol=1e-5, atol=1e-6)
+
+    def test_deep_m_policies_are_symbolic_safe(self):
+        """Trace-time size policies must not compare symbolic dims.
+
+        Two latent crashes found in r5: kernels._use_kuf_residual
+        multiplied a polymorphic batch dim into its byte floor, and
+        _maybe_remat's auto rule (reached only when M > QVAR_BF16_MAX_M
+        disables the bf16-residual short-circuit) compared symbolic
+        residual bytes against its threshold. M=264 exercises both on a
+        polymorphic export trace.
+        """
+        key = jax.random.PRNGKey(3)
+        kx, ky, kb = jax.random.split(key, 3)
+        X = jax.random.normal(kx, (300, 3), jnp.float32)
+        Y = jnp.sin(X.sum(-1, keepdims=True)) + 0.1 * jax.random.normal(
+            ky, (300, 1), jnp.float32)
+        args = BuildArgs(configuration="LG", mode="IW", num_inducing=264,
+                         num_iw_samples=3)
+        config, params = build_model(kb, args, X, Y)
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32)
+                              if jnp.issubdtype(a.dtype, jnp.floating)
+                              else a, params)
+        exp = export_scorer(params, config, batch_size="b", d_in=3,
+                            d_out=1, num_samples=3)
+        art = ServingArtifact(
+            exp, {"batch_size": 0, "d_in": 3, "d_out": 1, "num_samples": 3,
+                  "raw_units": False, "format_version": 1,
+                  "polymorphic_batch": True})
+        out = art.score(np.asarray(X[:9]), np.asarray(Y[:9]), seed=1,
+                        max_batch=16)
+        assert out["mean"].shape == (9, 1)
+        assert np.all(np.isfinite(out["log_density"]))
