@@ -49,6 +49,7 @@ SHAPES = [
     # mid-shapes bracketing EPI_TRAIN_MIN_DN = 32768, which until r5 was
     # bisected from a 4x gap (d*n = 16384 LOSE / 65536 WIN — VERDICT r4
     # weak #6): d*n = 24576 and 32768 exactly.
+    ("B=2560", "LGG", 20, 128, 2560, 8, 20000),
     ("B=3072", "LGG", 20, 128, 3072, 8, 20000),
     ("B=4096", "LGG", 20, 128, 4096, 8, 20000),
     ("B=8192", "LGG", 20, 128, 8192, 8, 20000),

@@ -85,7 +85,8 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
                 solve_precision, iterations, seed=0, qvar_bf16="auto",
                 solve_bwd="same", gram_fwd="highest", mesh=None,
                 qvar_train="off", minibatch=512, epi="auto",
-                epi_train="auto", full_batch="auto", gram_kres="auto"):
+                epi_train="auto", full_batch="auto", gram_kres="auto",
+                kuf_bf16="off"):
     from dgps_with_iwvi_tpu.ops import conditionals as _cond
     from dgps_with_iwvi_tpu.ops import kernels as _kern
 
@@ -95,6 +96,7 @@ def run_setting(label, dataset, conf, mode, K, natgrad, *, var_precision,
     _cond.EPI_TRAIN = epi_train  # trace-time module switch
     _kern.GRAM_FWD_PRECISION = gram_fwd  # trace-time module switch
     _kern.GRAM_KUF_RESIDUAL = gram_kres  # trace-time module switch
+    _kern.KRES_BF16_RESIDUAL = kuf_bf16  # trace-time module switch
     data = get_regression_data(dataset, 0)
     X, Y = jnp.asarray(data.X_train), jnp.asarray(data.Y_train)
     key = jax.random.PRNGKey(seed)
@@ -270,6 +272,12 @@ def main(argv=None):
                         "precision class, different rounding order in "
                         "dls/dZ/dvar); the all-HIGHEST reference always "
                         "runs the plain AD path")
+    p.add_argument("--kuf_bf16", default="off",
+                   choices=["auto", "on", "off"],
+                   help="candidate kernels.KRES_BF16_RESIDUAL (bf16 Kuf "
+                        "residual): QUALITY-REJECTED r5 — forced on at "
+                        "B=2048 it collapses LGG-kin8nm by 17% ELBO "
+                        "(QUALITY_GATE_kres.md); default off = shipped")
     p.add_argument("--full_batch_precision", default="auto",
                    choices=["auto", "off"],
                    help="candidate TrainConfig.full_batch_precision: 'auto' "
@@ -349,7 +357,7 @@ def main(argv=None):
                           qvar_bf16="auto")
         else:
             ref_kw = dict(var_precision="highest", solve_precision="highest",
-                          qvar_bf16=False, gram_kres="off")
+                          qvar_bf16=False, gram_kres="off", kuf_bf16="off")
         if reuse is not None and label in reuse:
             pr = reuse[label]
             ref = {"elbo_per_point": pr["elbo_ref"],
@@ -382,7 +390,9 @@ def main(argv=None):
                            epi=args.epi_pallas, epi_train=args.epi_train,
                            full_batch=args.full_batch_precision,
                            gram_kres={"auto": "auto", "on": True,
-                                      "off": False}[args.gram_kres])
+                                      "off": False}[args.gram_kres],
+                           kuf_bf16={"auto": "auto", "on": True,
+                                     "off": False}[args.kuf_bf16])
         scale = max(abs(ref["elbo_per_point"]), 1e-9)
         band = abs(ref2["elbo_per_point"] - ref["elbo_per_point"]) / scale
         band_nll = abs(ref2["test_nll"] - ref["test_nll"])
@@ -422,6 +432,7 @@ def main(argv=None):
                       "gram_fwd_precision": args.gram_fwd_precision,
                       "full_batch_precision": args.full_batch_precision,
                       "gram_kres": args.gram_kres,
+                      "kuf_bf16": args.kuf_bf16,
                       "reused_ref": bool(args.reuse_ref)},
         "reference": ({"var_precision": "highest",
                        "solve_precision": "highest"}
@@ -449,6 +460,7 @@ def main(argv=None):
                 f"epi_train={args.epi_train} "
                 f"gram_fwd={args.gram_fwd_precision} "
                 f"gram_kres={args.gram_kres} "
+                f"kuf_bf16={args.kuf_bf16} "
                 f"full_batch={args.full_batch_precision} vs "
                 f"{'all-HIGHEST' if args.reference == 'highest' else 'production defaults'} "
                 f"(minibatch {args.minibatch}), "

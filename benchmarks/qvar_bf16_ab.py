@@ -26,6 +26,7 @@ clean spc=500 numbers tabled in docs/PERF.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -54,6 +55,8 @@ SHAPES = [
     # the M axis is the only change.
     ("mid-M256", "LGG", 20, 256, 2048, 8, 20000),
 ]
+SHAPES = [s for s in SHAPES if s[0] in os.environ.get(
+    "AB_SHAPES", ",".join(s[0] for s in SHAPES)).split(",")]
 
 VARIANTS = {
     "remat(auto)": ("auto", False),

@@ -72,7 +72,12 @@ def time_dot(m, cols, precision, rounds=5):
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    n_lo, n_hi = 50, 250
+    # scale the iteration span so the fitted delta dwarfs tunnel jitter:
+    # at the flagship shape (~25 us/dot) a 200-iter span is only 5 ms
+    # against ~25 ms dispatch noise and the fit went NEGATIVE (r5 run);
+    # target >= ~100 ms of fitted device time.
+    span = max(200, int(4_000_000 / max(cols, 1)))
+    n_lo, n_hi = 50, 50 + span
     dt = (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
     nbytes = 3 * (m * cols * 4)  # read K + read acc + write acc
     return dt * 1e6, nbytes / dt / 1e9

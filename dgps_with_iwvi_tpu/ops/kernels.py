@@ -132,6 +132,54 @@ def scaled_squared_distance(X: jax.Array, X2: jax.Array,
 GRAM_KUF_RESIDUAL: bool | str = "auto"
 GRAM_KRES_MIN_BYTES = 4 * 1024 * 1024
 
+# Store the Kuf residual (the gram OUTPUT the custom vjp above keeps, and
+# the solve dot's saved y operand — the SAME tensor, shared by CSE) in
+# bf16 when it is large. Forward math is UNCHANGED (the f32 gram still
+# feeds the forward solve dot / Cholesky); the backward picks up bf16
+# Kuf-operand rounding — the class the quality gate pins forced-on
+# (quality_gate.py --kuf_bf16 on). Measured v5e (kres_bf16_ab.py, LGG
+# K=20 M=128, spc=200/500, forced on):
+#   B=512  (Kuf  5 MB/layer): neutral (2290 vs 2286 steps/s)
+#   B=2048 (21 MB):           neutral (961 vs 960)
+#   B=4096 (42 MB):           +3.7-3.8% (458->475 @200, 477->496 @500)
+#   B=8192 (84 MB):           neutral (216 vs 217)
+# Mechanism (r5 HLO audit): the ROOFLINE_B8192 "copy-done"+"slice-done"
+# rows are Kuf's VMEM spill on the FORWARD path — at 84 MB the gram
+# output cannot stay VMEM-resident next to A, so it transits HBM once
+# regardless of residual dtype (hence the B=8192 neutrality; the r4
+# "Pallas layout copy" and r5 "d2 residual" attributions were both
+# wrong). The knob pays where Kuf stays VMEM-resident forward but its
+# backward residual traffic matters (~the 32-64 MB band).
+#
+# SHIPPED OFF — quality-REJECTED by the convergence gate: forced on at
+# B=2048 the 15k-step LGG-kin8nm bound collapses (ELBO/n -0.4364 vs
+# -0.3737, dELBO 1.68e-1 rel, dNLL +0.033 — QUALITY_GATE_kres.md FAIL),
+# the same low-noise large-batch bias class as the r4 solve_bwd
+# collapse: per-step gradient deltas are tiny (2.6e-4 norm-rel,
+# tests/test_kres_bf16.py) but systematically biased through the
+# natgrad solve path, and minibatch noise no longer masks the bias at
+# B >= 2048 — EXACTLY the batch regime where the knob's byte savings
+# live. An isolation re-run of the identical candidate stack with only
+# this knob off PASSES (dELBO 1.2e-3), pinning the collapse on the bf16
+# Kuf residual alone. Fast-but-wrong; kept as an A/B switch and as the
+# recorded reason this residual must stay f32.
+KRES_BF16_RESIDUAL: bool | str = "off"
+KRES_BF16_MIN_BYTES = 32 * 1024 * 1024
+
+
+def kres_bf16_active(nbytes, dtype) -> bool:
+    """Shared policy for the bf16 Kuf residual (gram vjp + solve-dot y).
+
+    `nbytes` may be symbolic under polymorphic-batch export — undecidable
+    there, and export traces are inference traces, so fall back to exact.
+    """
+    if KRES_BF16_RESIDUAL in ("off", False):
+        return False
+    if KRES_BF16_RESIDUAL in ("on", True):
+        return True
+    return (isinstance(nbytes, int) and nbytes >= KRES_BF16_MIN_BYTES
+            and dtype == jnp.float32)
+
 
 def _use_kuf_residual(X, X2) -> bool:
     if GRAM_KUF_RESIDUAL != "auto":
@@ -185,7 +233,12 @@ def _rbf_gram_kres(Xs: jax.Array, X2s: jax.Array,
 
 def _rbf_gram_kres_fwd(Xs, X2s, var):
     out = _rbf_gram_kres(Xs, X2s, var)
-    return out, (Xs, X2s, var, out)
+    nbytes = out.dtype.itemsize
+    for s in out.shape:
+        nbytes = nbytes * s if isinstance(s, int) else 0  # symbolic: exact
+    Kres = (out.astype(jnp.bfloat16)
+            if kres_bf16_active(nbytes, out.dtype) else out)
+    return out, (Xs, X2s, var, Kres)
 
 
 def _rbf_gram_kres_bwd(res, g):

@@ -146,17 +146,21 @@ def make_parallel_trainer(config: dgp.DGPConfig, tc: TrainConfig, mesh: Mesh):
     def loss_fn(natvars, rest, xb, yb, idx, key):
         # same trace-time precision scoping as the single-device trainer
         from ..ops import conditionals as _cond
+        from ..ops import kernels as _kern
 
-        prev = {k: getattr(_cond, k) for k in _overrides}
+        def _mod(k):
+            return _cond if hasattr(_cond, k) else _kern
+
+        prev = {k: getattr(_mod(k), k) for k in _overrides}
         for k, v in _overrides.items():
-            setattr(_cond, k, v)
+            setattr(_mod(k), k, v)
         try:
             params = _merge_params(rest, natvars, layer_ids)
             return _sharded_objective(params, loss_cfg, xb, yb, idx, key,
                                       n_k, P_total)
         finally:
             for k, v in prev.items():
-                setattr(_cond, k, v)
+                setattr(_mod(k), k, v)
 
     def local_grads(natvars, rest, Xl, Yl, key):
         """Runs per device inside shard_map; returns psum'd loss + grads."""

@@ -110,6 +110,12 @@ FULL_BATCH_OVERRIDES = {
     "QVAR_BF16_RESIDUAL": False,
     "QVAR_PALLAS_TRAIN": "off",
     "EPI_TRAIN": "off",
+    # kernels-module switches (make_loss routes keys to the right module):
+    # the escalated trajectory should be the all-HIGHEST one by
+    # construction, so the gram custom vjp (rounding-ORDER-only deltas,
+    # ~4e-7 rel on dls/dZ/dvar) and the bf16 Kuf residual are both off
+    "GRAM_KUF_RESIDUAL": False,
+    "KRES_BF16_RESIDUAL": False,
 }
 
 
@@ -194,16 +200,20 @@ def make_trainer(config: dgp.DGPConfig, tc: TrainConfig):
         # leaking globally
         def loss_fn(natvars, rest, xb, yb, idx, key):
             from ..ops import conditionals as _cond
+            from ..ops import kernels as _kern
 
-            prev = {k: getattr(_cond, k) for k in overrides}
+            def _mod(k):
+                return _cond if hasattr(_cond, k) else _kern
+
+            prev = {k: getattr(_mod(k), k) for k in overrides}
             for k, v in overrides.items():
-                setattr(_cond, k, v)
+                setattr(_mod(k), k, v)
             try:
                 params = _merge_params(rest, natvars, layer_ids)
                 return -dgp.elbo(params, cfg, xb, yb, key, data_idx=idx)
             finally:
                 for k, v in prev.items():
-                    setattr(_cond, k, v)
+                    setattr(_mod(k), k, v)
         return loss_fn
 
     loss_minibatch = make_loss(config, {"SOLVE_BWD_PRECISION": solve_bwd})
