@@ -131,6 +131,7 @@ def scaled_squared_distance(X: jax.Array, X2: jax.Array,
 # the natgrad closed form most directly — on the unchanged AD path.
 GRAM_KUF_RESIDUAL: bool | str = "auto"
 GRAM_KRES_MIN_BYTES = 4 * 1024 * 1024
+GRAM_KRES_REMAT = False  # experimental A/B probe, see _leaf_K rbf branch
 
 # Store the Kuf residual (the gram OUTPUT the custom vjp above keeps, and
 # the solve dot's saved y operand — the SAME tensor, shared by CSE) in
@@ -585,8 +586,17 @@ def _leaf_K(params, X, X2, token: str, x_equals_x2: bool) -> jax.Array:
         if kind == "rbf":
             if _use_kuf_residual(X, X2):
                 dt = jnp.result_type(X.dtype, X2.dtype, var.dtype)
-                return _rbf_gram_kres((X / ls).astype(dt),
-                                      (X2 / ls).astype(dt), var.astype(dt))
+                fn = _rbf_gram_kres
+                if GRAM_KRES_REMAT:
+                    # experimental probe (r5): recompute the gram in the
+                    # backward instead of keeping K as residual — bounds
+                    # how much of the Kuf spill/reload traffic is on the
+                    # critical path. jax.checkpoint over a custom_vjp
+                    # saves only the primal inputs (Xs, X2s, var — tiny)
+                    # and reruns the fwd before the custom bwd.
+                    fn = jax.checkpoint(fn)
+                return fn((X / ls).astype(dt),
+                          (X2 / ls).astype(dt), var.astype(dt))
             return var * jnp.exp(-0.5 * scaled_squared_distance(X, X2, ls))
         d2 = scaled_squared_distance(X, X2, ls)
         if kind == "rq":

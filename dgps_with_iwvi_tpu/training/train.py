@@ -57,17 +57,17 @@ class TrainConfig:
     scan_unroll: int = 1
     # Precision of the solve path's TRANSPOSED dots (dKuf = Linv^T dA,
     # dLinv = dA Kuf^T — 2x the forward FLOPs, gradients only; the primal
-    # stays at DGPConfig.solve_precision). Quality-gated policy, TWICE
-    # batch-dependent (benchmarks/QUALITY_GATE_solvebwd.md at B=512,
-    # QUALITY_GATE_B2048.md at B=2048): 'default' (single-pass bf16,
-    # +3-7% step rate) PASSES every natgrad config at minibatch<=512 but
-    # (a) always degrades the all-Adam gate config (converged ELBO
-    # -0.88 -> -0.92 on GG-energy) and (b) at minibatch=2048 COLLAPSES
-    # the deep LGG-kin8nm config into a worse mode (converged ELBO/point
-    # -0.52 vs -0.37, 15k steps, seed 0 — large batches remove the
-    # gradient noise that masked the single-pass bias). 'auto' therefore
-    # relaxes exactly when natgrad layers exist AND minibatch <= 512;
-    # everything else stays exact. 'same'/'high'/'default' force.
+    # stays at DGPConfig.solve_precision). The single-pass-bf16
+    # relaxation ('default', +3-7% step rate) is RETIRED from 'auto' as
+    # of r5 — three gate strikes: (a) it always degraded the all-Adam
+    # gate config (QUALITY_GATE_solvebwd.md), (b) at minibatch=2048 it
+    # collapsed LGG-kin8nm (-0.52 vs -0.37 ELBO/point — the r4 batch
+    # cap, QUALITY_GATE_B2048.md), and (c) in the remaining B <= 512
+    # window it interacts with the gram-kres vjp's rounding to flip
+    # seed-0 LGG-kin8nm into a bad basin (dELBO 2.84e-1 at full shipped
+    # defaults; either knob alone passes — r5 full-gate refresh +
+    # isolation runs, see resolve_solve_bwd). 'auto' == 'same' now;
+    # 'high'/'default' remain explicit opt-ins for A/B.
     solve_bwd_precision: str = "auto"
     # FULL-BATCH (B >= N) precision auto-escalation. With zero minibatch
     # noise the production relaxations converge to a measurably lower
@@ -136,13 +136,25 @@ def resolve_full_batch(config, tc: "TrainConfig", full_batch: bool):
 
 
 def resolve_solve_bwd(tc: "TrainConfig", layer_ids) -> str:
-    """Resolve TrainConfig.solve_bwd_precision: 'auto' -> 'default' iff any
-    natgrad layer exists AND the minibatch is <= 512 (the gate-passing
-    envelope — see TrainConfig), else 'same'. Shared by the single-device
-    and sharded trainers."""
+    """Resolve TrainConfig.solve_bwd_precision: 'auto' -> 'same'.
+
+    The single-pass-bf16 relaxation of the solve path's transposed dots
+    has now been retired from 'auto' in two steps, each by a 15k-step
+    gate failure on LGG-kin8nm: r4 capped it to minibatch <= 512 (at
+    B=2048 the converged bound collapsed -0.52 vs -0.37 — low-noise
+    large-batch gradients expose the single-pass bias), and r5 retired
+    the remaining B <= 512 window when the full-defaults gate caught it
+    INTERACTING with the gram-kres vjp's reordered hyper-gradient
+    rounding: gram_kres(auto) x solve_bwd('default') flips seed-0
+    LGG-kin8nm into a bad basin (dELBO 2.84e-1, dNLL 0.063) while either
+    knob alone passes (gram_kres off: 1.49e-2; solve_bwd 'same':
+    6.58e-3 — r5 isolation runs). gram-kres is worth +6.1% flagship vs
+    this relaxation's +3.7%, and this is the relaxation's SECOND
+    gate-caught bias, so 'auto' now always means 'same'; 'default'
+    remains an explicit opt-in for A/B. Shared by the single-device and
+    sharded trainers."""
     if tc.solve_bwd_precision == "auto":
-        return ("default" if layer_ids and tc.minibatch_size <= 512
-                else "same")
+        return "same"
     return tc.solve_bwd_precision
 
 

@@ -114,8 +114,9 @@ class TestTrainerIntegration:
         _, loss = step_fn(init_fn(params), X, Y, KEY)
         assert jnp.isfinite(loss)
         assert seen and all(s["var"] == "default" for s in seen)
-        # natgrad + minibatch <= 512: the solve_bwd auto relaxation stays
-        assert all(s["solve_bwd"] == "default" for s in seen)
+        # solve_bwd 'auto' == 'same' since the r5 retirement (the
+        # gram-kres interaction basin flip — see resolve_solve_bwd)
+        assert all(s["solve_bwd"] == "same" for s in seen)
 
     def test_full_batch_precision_off_restores_old_behavior(self, monkeypatch):
         cfg, params, X, Y = _setup()

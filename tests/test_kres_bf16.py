@@ -112,3 +112,24 @@ class TestKresBf16:
         assert jnp.isfinite(loss)
         assert seen and all(s == (False, False) for s in seen)
         assert kernels.KRES_BF16_RESIDUAL is True  # restored
+
+
+class TestGramKresRemat:
+    def test_remat_grads_bit_equal(self, monkeypatch):
+        """GRAM_KRES_REMAT recomputes the identical forward in the
+        backward (checkpoint over the custom vjp) — gradients must be
+        bit-equal to the residual-keeping path."""
+        monkeypatch.setattr(kernels, "GRAM_KRES_MIN_BYTES", 0)
+        kx, kz = jax.random.split(KEY)
+        X = jax.random.normal(kx, (64, 5), jnp.float32)
+        Z = jax.random.normal(kz, (16, 5), jnp.float32)
+        params = kernels.kernel_params("rbf", 5)
+
+        def loss(p, X, Z):
+            return jnp.sum(jnp.square(kernels.K(p, X, Z, kind="rbf")))
+
+        g0 = jax.grad(loss, argnums=(0, 1, 2))(params, X, Z)
+        monkeypatch.setattr(kernels, "GRAM_KRES_REMAT", True)
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(params, X, Z)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

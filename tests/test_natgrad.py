@@ -433,18 +433,20 @@ class TestGammaWarmup:
 
 
 class TestSolveBwdResolution:
-    """TrainConfig.solve_bwd_precision 'auto' policy: relaxed backward dots
-    exactly when natgrad layers exist AND minibatch <= 512 — the
-    quality-gate-passing envelope. The batch cap is load-bearing: at
-    B=2048 the relaxation collapsed LGG-kin8nm into a worse mode
-    (ELBO/point -0.52 vs -0.37 at 15k steps; QUALITY_GATE_B2048.md)."""
+    """TrainConfig.solve_bwd_precision 'auto' policy: 'same' — the
+    single-pass relaxation is RETIRED from auto (r5). Three gate strikes:
+    all-Adam degradation (QUALITY_GATE_solvebwd.md), the B=2048
+    LGG-kin8nm collapse (QUALITY_GATE_B2048.md, the r4 batch cap), and
+    the r5 full-defaults interaction with gram-kres rounding that flips
+    seed-0 LGG-kin8nm at B=512 (dELBO 2.84e-1; either knob alone
+    passes). Explicit 'default'/'high' remain honored for A/B."""
 
-    def test_auto_resolves_by_natgrad_presence_and_batch(self):
+    def test_auto_resolves_to_same(self):
         from dgps_with_iwvi_tpu.training.train import (TrainConfig,
                                                        resolve_solve_bwd)
 
         assert resolve_solve_bwd(TrainConfig(minibatch_size=512),
-                                 [1]) == "default"
+                                 [1]) == "same"
         assert resolve_solve_bwd(TrainConfig(minibatch_size=512),
                                  []) == "same"
         assert resolve_solve_bwd(TrainConfig(minibatch_size=2048),
